@@ -1,0 +1,157 @@
+"""Host-side BN254 G1/G2 group arithmetic.
+
+Used for SRS bookkeeping, the verifier, and as the ground-truth oracle for
+the device MSM kernels (delay_enc_tpu.ops.msm).  G1 points are (x, y) ints,
+G2 points are (x, y) Fq2; None encodes the identity.
+
+Curve: y^2 = x^3 + 3 over Fq; twist (D-type): y^2 = x^3 + 3/(9+u) over Fq2.
+Matches `halo2curves::bn256` parameters (reference Cargo.toml:14-17).
+"""
+
+from __future__ import annotations
+
+from ..fields.bn254 import FQ, FR, Fq2
+
+P = FQ.p
+
+B1 = 3
+# b2 = 3 / (9 + u)
+B2 = Fq2(3, 0) * Fq2(9, 1).inv()
+
+G1_GEN = (1, 2)
+G2_GEN = (
+    Fq2(
+        10857046999023057135944570762232829481370756359578518086990519993285655852781,
+        11559732032986387107991004021392285783925812861821192530917403151452391805634,
+    ),
+    Fq2(
+        8495653923123431417604973247489272438418190587263600148770280649306958101930,
+        4082367875863433681332203403145435568316851327593401208105741076214120093531,
+    ),
+)
+
+
+class _Group:
+    """Shared affine short-Weierstrass arithmetic over a generic field."""
+
+    def __init__(self, name, b, gen, is_fq2: bool):
+        self.name = name
+        self.b = b
+        self.gen = gen
+        self.is_fq2 = is_fq2
+
+    # field helpers dispatch on coordinate type
+    def _inv(self, x):
+        return x.inv() if self.is_fq2 else pow(x, -1, P)
+
+    def is_on_curve(self, pt) -> bool:
+        if pt is None:
+            return True
+        x, y = pt
+        if self.is_fq2:
+            return y.square() == x.square() * x + self.b
+        return (y * y - x * x * x - self.b) % P == 0
+
+    def add(self, a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        x1, y1 = a
+        x2, y2 = b
+        if x1 == x2:
+            if self.is_fq2:
+                if (y1 + y2).is_zero():
+                    return None
+            elif (y1 + y2) % P == 0:
+                return None
+            return self.double(a)
+        lam = (y2 - y1) * self._inv(x2 - x1)
+        x3 = lam * lam - x1 - x2
+        y3 = lam * (x1 - x3) - y1
+        if not self.is_fq2:
+            x3 %= P
+            y3 %= P
+        return (x3, y3)
+
+    def double(self, a):
+        if a is None:
+            return None
+        x, y = a
+        if self.is_fq2:
+            if y.is_zero():
+                return None
+            lam = (3 * x.square()) * self._inv(2 * y)
+        else:
+            if y % P == 0:
+                return None
+            lam = (3 * x * x) * self._inv(2 * y)
+        x3 = lam * lam - 2 * x
+        y3 = lam * (x - x3) - y
+        if not self.is_fq2:
+            x3 %= P
+            y3 %= P
+        return (x3, y3)
+
+    def neg(self, a):
+        if a is None:
+            return None
+        x, y = a
+        return (x, (-y) % P if not self.is_fq2 else -y)
+
+    def mul(self, a, k: int):
+        k %= FR.p
+        r, base = None, a
+        while k:
+            if k & 1:
+                r = self.add(r, base)
+            base = self.double(base)
+            k >>= 1
+        return r
+
+    def msm(self, scalars, points):
+        """Naive host MSM (test oracle only)."""
+        acc = None
+        for s, pt in zip(scalars, points):
+            acc = self.add(acc, self.mul(pt, s))
+        return acc
+
+
+G1 = _Group("G1", B1, G1_GEN, is_fq2=False)
+G2 = _Group("G2", B2, G2_GEN, is_fq2=True)
+
+
+# ---- serialization (framework-defined format, used consistently by the
+#      transcript on both prover and verifier sides) ----
+
+def g1_to_bytes(pt) -> bytes:
+    """32-byte LE x with y-parity in bit 254 and infinity flag in bit 255."""
+    if pt is None:
+        return (1 << 255).to_bytes(32, "little")
+    x, y = pt
+    v = x | ((y & 1) << 254)
+    return v.to_bytes(32, "little")
+
+
+def g1_from_bytes(b: bytes):
+    v = int.from_bytes(b, "little")
+    if v >> 255:
+        return None
+    parity = (v >> 254) & 1
+    x = v & ((1 << 254) - 1)
+    y2 = (x * x * x + B1) % P
+    y = FQ.sqrt(y2)
+    if y is None:
+        raise ValueError("not on curve")
+    if y & 1 != parity:
+        y = P - y
+    return (x, y)
+
+
+def g2_to_bytes(pt) -> bytes:
+    """64-byte LE (x.c0, x.c1) with y-parity / infinity flags in x.c1 top bits."""
+    if pt is None:
+        return b"\x00" * 32 + (1 << 255).to_bytes(32, "little")
+    x, y = pt
+    hi = x.c1 | ((y.c0 & 1) << 254)
+    return x.c0.to_bytes(32, "little") + hi.to_bytes(32, "little")

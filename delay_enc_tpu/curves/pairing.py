@@ -1,0 +1,115 @@
+"""Optimal-ate pairing on BN254 (host-side; verifier only).
+
+The reference delegates pairings to `halo2curves` inside
+`halo2_proofs::verify_proof` (benches/delay_enc.rs:147-165).  The verifier is
+ms-scale and host-side in this framework, so the pairing is implemented over
+Python ints / the Fq tower — no device involvement.
+
+Construction notes (standard BN optimal ate):
+  - Miller loop over |6u+2| (u = BN_U), plain binary double-and-add.
+  - D-type twist: untwist (x,y) -> (x*w^2, y*w^3), w^2 = v, v^3 = xi = 9+u.
+    A line through T evaluated at P=(xp,yp) is the sparse Fq12 element
+    yp + (-lambda*xp)*w + (lambda*x_T - y_T)*v*w   (mul_by_034 shape).
+  - After the loop, two extra additions with the Frobenius images
+    Q1 = pi(Q) and Q2 = -pi^2(Q).
+  - Final exponentiation: easy part via conjugation/Frobenius, hard part by
+    direct exponentiation with (p^4 - p^2 + 1)/r (host-side simplicity; this
+    runs a handful of times per verification).
+"""
+
+from __future__ import annotations
+
+from ..fields.bn254 import ATE_LOOP_COUNT, FQ, FR, Fq2, Fq6, Fq12
+from .bn254 import G1 as G1_GROUP, G2 as G2_GROUP
+
+P = FQ.p
+R = FR.p
+
+_XI = Fq2(9, 1)
+# Frobenius twist coefficients for G2 points
+_TWIST_X = _XI.pow((P - 1) // 3)  # xi^((p-1)/3)
+_TWIST_Y = _XI.pow((P - 1) // 2)  # xi^((p-1)/2)
+
+_HARD_EXP = (P**4 - P**2 + 1) // R
+
+
+def _line_double(t, pt_g1):
+    """Tangent line at twisted T, evaluated at P; returns (line, 2T)."""
+    x, y = t
+    xp, yp = pt_g1
+    lam = (3 * x.square()) * (2 * y).inv()
+    x3 = lam.square() - 2 * x
+    y3 = lam * (x - x3) - y
+    c0 = Fq2(yp, 0)
+    c3 = -(lam * xp)
+    c4 = lam * x - y
+    return (c0, c3, c4), (x3, y3)
+
+
+def _line_add(t, q, pt_g1):
+    """Chord line through twisted T and Q, evaluated at P; returns (line, T+Q)."""
+    x1, y1 = t
+    x2, y2 = q
+    xp, yp = pt_g1
+    lam = (y2 - y1) * (x2 - x1).inv()
+    x3 = lam.square() - x1 - x2
+    y3 = lam * (x1 - x3) - y1
+    c0 = Fq2(yp, 0)
+    c3 = -(lam * xp)
+    c4 = lam * x1 - y1
+    return (c0, c3, c4), (x3, y3)
+
+
+def _frobenius_g2(q):
+    x, y = q
+    return (x.conjugate() * _TWIST_X, y.conjugate() * _TWIST_Y)
+
+
+def miller_loop(pt_g1, pt_g2) -> Fq12:
+    """f_{6u+2,Q}(P) with the two Frobenius correction lines."""
+    if pt_g1 is None or pt_g2 is None:
+        return Fq12.one()
+    f = Fq12.one()
+    t = pt_g2
+    bits = bin(ATE_LOOP_COUNT)[2:]
+    for bit in bits[1:]:
+        line, t = _line_double(t, pt_g1)
+        f = f.square().mul_by_034(*line)
+        if bit == "1":
+            line, t = _line_add(t, pt_g2, pt_g1)
+            f = f.mul_by_034(*line)
+    q1 = _frobenius_g2(pt_g2)
+    q2 = _frobenius_g2(q1)
+    q2 = (q2[0], -q2[1])
+    line, t = _line_add(t, q1, pt_g1)
+    f = f.mul_by_034(*line)
+    line, t = _line_add(t, q2, pt_g1)
+    f = f.mul_by_034(*line)
+    return f
+
+
+def final_exponentiation(f: Fq12) -> Fq12:
+    # easy part: f^((p^6-1)(p^2+1))
+    f = f.conjugate() * f.inv()
+    f = f.frobenius(2) * f
+    # hard part: f^((p^4-p^2+1)/r)
+    return f.pow(_HARD_EXP)
+
+
+def pairing(pt_g1, pt_g2) -> Fq12:
+    assert G1_GROUP.is_on_curve(pt_g1), "P not on G1"
+    assert G2_GROUP.is_on_curve(pt_g2), "Q not on G2"
+    return final_exponentiation(miller_loop(pt_g1, pt_g2))
+
+
+def multi_pairing(pairs) -> Fq12:
+    """prod_i e(P_i, Q_i) with a single shared final exponentiation."""
+    f = Fq12.one()
+    for pt_g1, pt_g2 in pairs:
+        f = f * miller_loop(pt_g1, pt_g2)
+    return final_exponentiation(f)
+
+
+def pairing_check(pairs) -> bool:
+    """Returns True iff prod_i e(P_i, Q_i) == 1 (the KZG verification shape)."""
+    return multi_pairing(pairs).is_one()
