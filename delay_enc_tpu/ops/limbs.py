@@ -1,0 +1,279 @@
+"""Device (TPU) big-field arithmetic over base-2^16 limb tensors.
+
+TPU-first design decisions (replacing `halo2curves`'s u64x4 Montgomery code,
+the reference's field backend — Cargo.toml:14-17):
+
+ * An element of a 254-bit field is a little-endian vector of 16 x 16-bit
+   limbs stored as ``uint32`` — a 16x16-bit product fits exactly in uint32,
+   and per-column sums of 16 such split halves stay < 2^21, so the full
+   schoolbook product needs no 64-bit carries (TPUs have no u64 ALU).
+ * All values are kept in Montgomery form (R = 2^256); `mont_mul` does a
+   carry-save schoolbook product followed by a 16-step base-2^16 Montgomery
+   reduction.  Everything is vectorized over arbitrary leading batch axes —
+   the VPU sees large elementwise workloads, the sequential depth is the
+   per-element limb schedule (O(n) steps of O(batch*n) vector work).
+ * Comparisons/subtract-p are branchless borrow chains + selects.
+
+The NTT, MSM and Poseidon device kernels are built on these primitives.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.prime import PrimeField
+from ..fields.bn254 import FQ, FR
+
+NLIMB = 16  # 16 limbs x 16 bits = 256 bits
+LIMB_BITS = 16
+MASK = jnp.uint32(0xFFFF)
+
+
+# ---------------------------------------------------------------- host side
+
+def int_to_limbs_np(x: int) -> np.ndarray:
+    """One int -> (16,) uint32 limb vector (canonical, NOT Montgomery)."""
+    b = int(x).to_bytes(32, "little")
+    return np.frombuffer(b, dtype="<u2").astype(np.uint32)
+
+
+def ints_to_limbs_np(xs) -> np.ndarray:
+    """Sequence of ints -> (N, 16) uint32 (canonical form)."""
+    buf = b"".join(int(x).to_bytes(32, "little") for x in xs)
+    return np.frombuffer(buf, dtype="<u2").reshape(len(xs), NLIMB).astype(np.uint32)
+
+
+def limbs_to_ints_np(a) -> list[int]:
+    a = np.asarray(a, dtype=np.uint64).reshape(-1, NLIMB)
+    out = []
+    for row in a:
+        v = 0
+        for i in range(NLIMB - 1, -1, -1):
+            v = (v << LIMB_BITS) | int(row[i])
+        out.append(v)
+    return out
+
+
+@dataclass(frozen=True)
+class FieldCtx:
+    """Per-field device constants."""
+
+    field: PrimeField
+    p_limbs: jnp.ndarray  # (16,) uint32
+    n_prime: int  # -p^-1 mod 2^16
+    r_mod_p: jnp.ndarray  # R mod p, canonical limbs (= Montgomery ONE)
+    r2_limbs: jnp.ndarray  # R^2 mod p, canonical limbs
+    zero: jnp.ndarray  # (16,) zeros
+
+    @staticmethod
+    def make(field: PrimeField) -> "FieldCtx":
+        p = field.p
+        r = (1 << 256) % p
+        r2 = (r * r) % p
+        return FieldCtx(
+            field=field,
+            p_limbs=jnp.asarray(int_to_limbs_np(p)),
+            n_prime=(-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS),
+            r_mod_p=jnp.asarray(int_to_limbs_np(r)),
+            r2_limbs=jnp.asarray(int_to_limbs_np(r2)),
+            zero=jnp.zeros(NLIMB, jnp.uint32),
+        )
+
+    # host conversions -------------------------------------------------
+    def to_mont_np(self, xs) -> np.ndarray:
+        """ints -> Montgomery limb array (host math, exact)."""
+        p, r = self.field.p, (1 << 256) % self.field.p
+        return ints_to_limbs_np([(int(x) << 256) % p for x in xs])
+
+    def from_mont_np(self, a) -> list[int]:
+        p = self.field.p
+        rinv = pow((1 << 256) % p, -1, p)
+        return [(v * rinv) % p for v in limbs_to_ints_np(np.asarray(a))]
+
+    def one_mont(self) -> jnp.ndarray:
+        return self.r_mod_p
+
+
+FR_CTX = FieldCtx.make(FR)
+FQ_CTX = FieldCtx.make(FQ)
+
+
+# ------------------------------------------------------------- device math
+
+def _carry_propagate(cols: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """Sequential carry chain: cols (…, >=n_out) with entries < 2^32 ->
+    canonical 16-bit limbs (…, n_out).  The overall value must fit n_out
+    limbs (guaranteed by callers)."""
+    outs = []
+    carry = jnp.zeros(cols.shape[:-1], jnp.uint32)
+    for i in range(n_out):
+        v = cols[..., i] + carry
+        outs.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return jnp.stack(outs, axis=-1)
+
+
+def _sub_p_if_ge(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
+    """a (canonical limbs, value < 2p) -> a mod p via branchless borrow chain."""
+    p = ctx.p_limbs
+    diffs = []
+    borrow = jnp.zeros(a.shape[:-1], jnp.uint32)
+    for i in range(NLIMB):
+        d = a[..., i] - p[i] - borrow
+        borrow = (d >> 31) & 1  # underflow flag (top bit set after wrap)
+        # bring the wrapped difference back into 16 bits
+        diffs.append(d & MASK)
+    diff = jnp.stack(diffs, axis=-1)
+    ge = (borrow == 0)[..., None]  # a >= p
+    return jnp.where(ge, diff, a)
+
+
+def add(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    s = _carry_propagate(a + b, NLIMB)  # sums < 2^17 per column; value < 2p
+    return _sub_p_if_ge(ctx, s)
+
+
+def sub(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    # (a + p) - b via a fused carry/borrow chain; result < 2p, then reduce.
+    s = a + ctx.p_limbs  # columns < 2^17
+    outs = []
+    carry = jnp.zeros(a.shape[:-1], jnp.uint32)
+    borrow = jnp.zeros(a.shape[:-1], jnp.uint32)
+    for i in range(NLIMB):
+        v = s[..., i] + carry
+        carry = v >> LIMB_BITS
+        d = (v & MASK) - b[..., i] - borrow
+        borrow = (d >> 31) & 1
+        outs.append(d & MASK)
+    # For p < 2^255, a + p - b < 2p < 2^256: the value fits 16 limbs exactly
+    # (final carry cancels the final borrow), so no top limb is needed.
+    res = jnp.stack(outs, axis=-1)
+    return _sub_p_if_ge(ctx, res)
+
+
+def neg(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
+    return sub(ctx, jnp.broadcast_to(ctx.zero, a.shape), a)
+
+
+def is_zero(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(a == 0, axis=-1)
+
+
+def eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(a == b, axis=-1)
+
+
+def select(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """cond ? a : b, cond shaped like the batch (no limb axis)."""
+    return jnp.where(cond[..., None], a, b)
+
+
+def _shift_add(cols: jnp.ndarray, x: jnp.ndarray, off: int) -> jnp.ndarray:
+    """cols += x placed at column offset `off` (pad+add: no scatters — XLA
+    compiles scatters orders of magnitude slower than concat/pad)."""
+    w = cols.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 1) + [(off, w - x.shape[-1] - off)]
+    return cols + jnp.pad(x, pad)
+
+
+def _schoolbook_cols(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full 512-bit product in 32 carry-save columns (each < 2^21)."""
+    t = a[..., :, None] * b[..., None, :]  # (…,16,16) exact in uint32
+    lo = t & MASK
+    hi = t >> LIMB_BITS
+    cols = jnp.zeros(a.shape[:-1] + (2 * NLIMB,), jnp.uint32)
+    for j in range(NLIMB):
+        cols = _shift_add(cols, lo[..., :, j], j)
+        cols = _shift_add(cols, hi[..., :, j], j + 1)
+    return cols
+
+
+def mont_mul(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery product: a*b*R^-1 mod p (inputs/outputs in Montgomery form,
+    canonical 16-bit limbs)."""
+    p = ctx.p_limbs
+    np_ = jnp.uint32(ctx.n_prime)
+    cols = _schoolbook_cols(a, b)
+    # 16 reduction steps; cols entries stay < 2^21 + 16*2^16 + carries < 2^23
+    for i in range(NLIMB):
+        low = cols[..., i] & MASK
+        u = (low * np_) & MASK
+        up = u[..., None] * p  # (…,16) uint32 exact
+        cols = _shift_add(cols, up & MASK, i)
+        cols = _shift_add(cols, up >> LIMB_BITS, i + 1)
+        # column i is now ≡ 0 mod 2^16; push all its upper bits to column i+1
+        cols = _shift_add(cols, (cols[..., i] >> LIMB_BITS)[..., None], i + 1)
+    res = _carry_propagate(cols[..., NLIMB:], NLIMB)
+    return _sub_p_if_ge(ctx, res)
+
+
+def mont_sqr(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
+    return mont_mul(ctx, a, a)
+
+
+def mont_pow(ctx: FieldCtx, a: jnp.ndarray, e: int) -> jnp.ndarray:
+    """Fixed (host-known) exponent power; e >= 0."""
+    result = jnp.broadcast_to(ctx.one_mont(), a.shape)
+    base = a
+    while e:
+        if e & 1:
+            result = mont_mul(ctx, result, base)
+        base = mont_sqr(ctx, base)
+        e >>= 1
+    return result
+
+
+def inv(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
+    """Batched inversion via Fermat (a^(p-2)).  Implemented as a lax.scan
+    over the 256 exponent bits (MSB first) so the traced graph stays small;
+    prefer batch_inv for large arrays (3 muls/element amortized)."""
+    e = ctx.field.p - 2
+    bits = jnp.asarray([(e >> (255 - i)) & 1 for i in range(256)], jnp.uint32)
+
+    def step(result, bit):
+        result = mont_sqr(ctx, result)
+        with_mul = mont_mul(ctx, result, a)
+        return select(jnp.broadcast_to(bit.astype(bool), a.shape[:-1]), with_mul, result), None
+
+    init = jnp.broadcast_to(ctx.one_mont(), a.shape)
+    out, _ = jax.lax.scan(step, init, bits)
+    return out
+
+
+def batch_inv(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery batch inversion along the leading axis: one Fermat
+    inversion + 3(N-1) multiplications.  Zero entries map to zero."""
+    n = a.shape[0]
+    zero_mask = is_zero(a)
+    a_safe = select(zero_mask, jnp.broadcast_to(ctx.one_mont(), a.shape), a)
+
+    def fwd(carry, x):
+        nxt = mont_mul(ctx, carry, x)
+        return nxt, carry  # prefix products exclusive
+
+    total, prefixes = jax.lax.scan(fwd, jnp.broadcast_to(ctx.one_mont(), a.shape[1:]), a_safe)
+    total_inv = inv(ctx, total)
+
+    def bwd(carry, xs):
+        x, prefix = xs
+        out = mont_mul(ctx, carry, prefix)
+        nxt = mont_mul(ctx, carry, x)
+        return nxt, out
+
+    _, invs = jax.lax.scan(bwd, total_inv, (a_safe, prefixes), reverse=True)
+    return select(zero_mask, jnp.zeros_like(a), invs)
+
+
+# host <-> device round trip helpers ------------------------------------
+
+def to_device_mont(ctx: FieldCtx, xs) -> jnp.ndarray:
+    return jnp.asarray(ctx.to_mont_np(xs))
+
+
+def from_device_mont(ctx: FieldCtx, a) -> list[int]:
+    return ctx.from_mont_np(np.asarray(jax.device_get(a)))
