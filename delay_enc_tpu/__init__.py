@@ -22,3 +22,7 @@ Reference behavior citations use ``/root/reference`` paths (file:line).
 """
 
 __version__ = "0.1.0"
+
+from .utils.jaxcfg import configure_jax as _configure_jax
+
+_configure_jax()

@@ -35,9 +35,15 @@ def test_add_sub_neg(ctx):
     a = L.to_device_mont(ctx, xs)
     b = L.to_device_mont(ctx, ys)
     p = ctx.field.p
-    assert L.from_device_mont(ctx, L.add(ctx, a, b)) == [(x + y) % p for x, y in zip(xs, ys)]
-    assert L.from_device_mont(ctx, L.sub(ctx, a, b)) == [(x - y) % p for x, y in zip(xs, ys)]
-    assert L.from_device_mont(ctx, L.neg(ctx, a)) == [(-x) % p for x in xs]
+
+    @jax.jit
+    def f(a, b):
+        return L.add(ctx, a, b), L.sub(ctx, a, b), L.neg(ctx, a)
+
+    s, d, n = f(a, b)
+    assert L.from_device_mont(ctx, s) == [(x + y) % p for x, y in zip(xs, ys)]
+    assert L.from_device_mont(ctx, d) == [(x - y) % p for x, y in zip(xs, ys)]
+    assert L.from_device_mont(ctx, n) == [(-x) % p for x in xs]
 
 
 def test_mont_mul_matches_host(ctx):
@@ -45,17 +51,17 @@ def test_mont_mul_matches_host(ctx):
     ys = _rand_elems(ctx, 128, 4)
     a = L.to_device_mont(ctx, xs)
     b = L.to_device_mont(ctx, ys)
-    got = L.from_device_mont(ctx, L.mont_mul(ctx, a, b))
+    got = L.from_device_mont(ctx, jax.jit(lambda a, b: L.mont_mul(ctx, a, b))(a, b))
     assert got == [(x * y) % ctx.field.p for x, y in zip(xs, ys)]
 
 
 def test_mont_mul_edge_cases(ctx):
     p = ctx.field.p
-    xs = [0, 1, p - 1, p - 2, 2, (1 << 255) % p]
-    ys = [p - 1, p - 1, p - 1, 1, 0, (1 << 254) % p]
+    xs = [0, 1, p - 1, p - 2, 2, (1 << 255) % p, p - 1, p - 1]
+    ys = [p - 1, p - 1, p - 1, 1, 0, (1 << 254) % p, p - 1, 1]
     a = L.to_device_mont(ctx, xs)
     b = L.to_device_mont(ctx, ys)
-    got = L.from_device_mont(ctx, L.mont_mul(ctx, a, b))
+    got = L.from_device_mont(ctx, jax.jit(lambda a, b: L.mont_mul(ctx, a, b))(a, b))
     assert got == [(x * y) % p for x, y in zip(xs, ys)]
 
 
@@ -63,9 +69,9 @@ def test_mont_pow_and_inv(ctx):
     xs = _rand_elems(ctx, 8, 5)
     a = L.to_device_mont(ctx, xs)
     p = ctx.field.p
-    cubes = L.from_device_mont(ctx, L.mont_pow(ctx, a, 3))
+    cubes = L.from_device_mont(ctx, jax.jit(lambda a: L.mont_pow(ctx, a, 3))(a))
     assert cubes == [pow(x, 3, p) for x in xs]
-    invs = L.from_device_mont(ctx, L.inv(ctx, a))
+    invs = L.from_device_mont(ctx, jax.jit(lambda a: L.inv(ctx, a))(a))
     assert invs == [pow(x, -1, p) for x in xs]
 
 
@@ -73,7 +79,7 @@ def test_batch_inv(ctx):
     xs = _rand_elems(ctx, 33, 6)
     xs[7] = 0  # zero maps to zero
     a = L.to_device_mont(ctx, xs)
-    got = L.from_device_mont(ctx, L.batch_inv(ctx, a))
+    got = L.from_device_mont(ctx, jax.jit(lambda a: L.batch_inv(ctx, a))(a))
     p = ctx.field.p
     expected = [pow(x, -1, p) if x else 0 for x in xs]
     assert got == expected
