@@ -269,6 +269,17 @@ def batch_inv(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
     return select(zero_mask, jnp.zeros_like(a), invs)
 
 
+def mont_to_canonical(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery form -> canonical limbs, on device (a * 1 * R^-1)."""
+    one = jnp.zeros(NLIMB, jnp.uint32).at[0].set(1)
+    return mont_mul(ctx, a, jnp.broadcast_to(one, a.shape))
+
+
+def canonical_to_mont(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
+    """Canonical limbs -> Montgomery form, on device (a * R^2 * R^-1)."""
+    return mont_mul(ctx, a, jnp.broadcast_to(ctx.r2_limbs, a.shape))
+
+
 # host <-> device round trip helpers ------------------------------------
 
 def to_device_mont(ctx: FieldCtx, xs) -> jnp.ndarray:

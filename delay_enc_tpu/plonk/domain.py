@@ -1,0 +1,88 @@
+"""Evaluation domain: the 2^k row domain H, the extended coset domain for
+quotient construction, and Lagrange helpers.
+
+Replaces `halo2_proofs`' EvaluationDomain (driven inside create_proof,
+reference benches/delay_enc.rs:123).  The max constraint degree in this
+framework is 7 (the 5-column permutation product, see prover.py), so the
+extended domain is 8n and the quotient splits into 7 pieces of size n.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+
+from ..fields.bn254 import FR
+from ..ops import limbs as L
+from ..ops.ntt import NTTPlan
+
+# degree bound: gate 3, lookup 6, permutation 2 + NUM_ADVICE = 7
+MAX_DEGREE = 8  # extended domain multiplier (next pow2 >= max constraint deg)
+EXT_LOG = 3  # log2(MAX_DEGREE)
+QUOTIENT_PIECES = 7
+BLINDING_ROWS = 6
+
+
+@dataclass
+class Domain:
+    k: int
+
+    @property
+    def n(self) -> int:
+        return 1 << self.k
+
+    @property
+    def k_ext(self) -> int:
+        return self.k + EXT_LOG
+
+    @property
+    def n_ext(self) -> int:
+        return 1 << self.k_ext
+
+    @property
+    def usable_rows(self) -> int:
+        """Rows available to the circuit: [0, usable); row `usable` is the
+        l_last row, the final BLINDING_ROWS rows hold blinding values."""
+        return self.n - BLINDING_ROWS - 1
+
+    @cached_property
+    def omega(self) -> int:
+        return FR.root_of_unity(self.k)
+
+    @cached_property
+    def omega_inv(self) -> int:
+        return FR.inv(self.omega)
+
+    @cached_property
+    def omega_ext(self) -> int:
+        return FR.root_of_unity(self.k_ext)
+
+    @cached_property
+    def zeta(self) -> int:
+        """Coset generator for the extended domain (any non-root works; use
+        the field generator)."""
+        return FR.generator
+
+    @cached_property
+    def plan(self) -> NTTPlan:
+        return NTTPlan.make(L.FR_CTX, self.k)
+
+    @cached_property
+    def plan_ext(self) -> NTTPlan:
+        return NTTPlan.make(L.FR_CTX, self.k_ext)
+
+    # ---- host-side Lagrange helpers (verifier) -----------------------
+    def lagrange_at(self, i: int, x: int) -> int:
+        """l_i(x) = omega^i (x^n - 1) / (n (x - omega^i))."""
+        p = FR.p
+        wi = pow(self.omega, i, p)
+        num = wi * (pow(x, self.n, p) - 1) % p
+        den = self.n * (x - wi) % p
+        return num * pow(den, -1, p) % p
+
+    def l_blind_at(self, x: int) -> int:
+        """sum of l_i(x) over the blinding rows (usable+1 .. n-1)."""
+        return sum(self.lagrange_at(i, x) for i in range(self.usable_rows + 1, self.n)) % FR.p
+
+    def vanishing_at(self, x: int) -> int:
+        return (pow(x, self.n, FR.p) - 1) % FR.p

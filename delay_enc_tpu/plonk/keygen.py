@@ -1,0 +1,241 @@
+"""Keygen: compile a built circuit (cs.Builder) into proving/verifying keys.
+
+Replaces `keygen_vk` / `keygen_pk` (reference benches/delay_enc.rs:84-115).
+The vk holds KZG commitments to every fixed polynomial (selectors, lookup
+tags, table columns) and the 5 permutation sigma polynomials; the pk
+additionally holds device-resident coefficient forms and extended-coset
+evaluations of everything the quotient construction needs.
+
+Permutation sigma encoding (halo2-style): cell (col c, row r) is labelled
+delta^c * omega^r with delta a non-root-of-unity (generator^(2^s)); copy
+cycles rotate the labels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cs.builder import Builder, FIXED_NAMES, NUM_ADVICE
+from ..cs.range import build_table
+from ..fields.bn254 import FR
+from ..ops import limbs as L
+from ..ops.ntt import intt, ntt
+from .domain import BLINDING_ROWS, Domain
+
+# fixed poly order (shared prover/verifier): builder fixed + table columns
+TABLE_NAMES = ("table_tag", "table_value")
+ALL_FIXED = tuple(FIXED_NAMES) + TABLE_NAMES
+LOOKUPS = ("a", "b", "c", "d")  # one lookup argument per tagged wire column
+
+DELTA = pow(FR.generator, 1 << FR.s, FR.p)
+
+
+@dataclass
+class VerifyingKey:
+    domain: Domain
+    fixed_commitments: dict  # name -> affine G1 point
+    sigma_commitments: list  # 5 affine G1 points
+    digest: bytes = b""
+
+
+@dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    # device arrays, all (n,16) mont unless noted
+    fixed_raw: dict
+    fixed_coeff: dict
+    fixed_ext: dict  # (n_ext,16)
+    sigma_coeff: list
+    sigma_ext: list
+    l0_ext: jnp.ndarray
+    l_last_ext: jnp.ndarray
+    l_blind_ext: jnp.ndarray
+    x_ext: jnp.ndarray  # evals of the identity poly X on the extended coset
+    zeta_powers: jnp.ndarray  # (n_ext,16) coset scale
+    zeta_inv_powers: jnp.ndarray
+    zh_inv_ext: jnp.ndarray  # (n_ext,16) 1/(X^n - 1) on the extended coset
+    delta_powers: list  # host ints delta^0..delta^4
+
+
+def _to_coeff_and_ext(domain: Domain, col_mont: jnp.ndarray):
+    """(n,16) row-domain evals -> (coeff (n,16), ext coset evals (n_ext,16))."""
+    ctx = L.FR_CTX
+    coeff = intt(domain.plan, col_mont)
+    padded = jnp.concatenate(
+        [coeff, jnp.zeros((domain.n_ext - domain.n, L.NLIMB), jnp.uint32)], axis=0
+    )
+    zp = _zeta_powers(domain)
+    ext = ntt(domain.plan_ext, L.mont_mul(ctx, padded, zp))
+    return coeff, ext
+
+
+_zeta_cache: dict = {}
+
+
+def _zeta_powers(domain: Domain) -> jnp.ndarray:
+    key = ("zeta", domain.k)
+    if key not in _zeta_cache:
+        vals, cur = [], 1
+        for _ in range(domain.n_ext):
+            vals.append(cur)
+            cur = cur * domain.zeta % FR.p
+        _zeta_cache[key] = jnp.asarray(L.FR_CTX.to_mont_np(vals))
+    return _zeta_cache[key]
+
+
+def _zeta_inv_powers(domain: Domain) -> jnp.ndarray:
+    key = ("zeta_inv", domain.k)
+    if key not in _zeta_cache:
+        zi = FR.inv(domain.zeta)
+        vals, cur = [], 1
+        for _ in range(domain.n_ext):
+            vals.append(cur)
+            cur = cur * zi % FR.p
+        _zeta_cache[key] = jnp.asarray(L.FR_CTX.to_mont_np(vals))
+    return _zeta_cache[key]
+
+
+def min_k(builder: Builder) -> int:
+    tags, _ = build_table(builder.lookup_widths)
+    rows_needed = max(builder.rows, len(tags))
+    k = 3
+    while (1 << k) - BLINDING_ROWS - 1 < rows_needed:
+        k += 1
+    return k
+
+
+def keygen(builder: Builder, srs, k: int | None = None):
+    """Compile the circuit structure; returns (pk, vk).
+
+    The builder must have been produced by the circuit's build() — keygen
+    uses only its *structure* (fixed columns, copies, lookup widths), never
+    the witness values, so any valid instance works (halo2 keygen similarly
+    runs synthesize, delay_enc.rs:84-115)."""
+    from .kzg import commit
+    from ..ops import msm as M
+
+    assert builder.field.p == FR.p, "proving backend is BN254-Fr only"
+    ctx = L.FR_CTX
+    if k is None:
+        k = min_k(builder)
+    domain = Domain(k)
+    n = domain.n
+    assert builder.rows <= domain.usable_rows, (
+        f"circuit rows {builder.rows} exceed usable {domain.usable_rows} at k={k}"
+    )
+    assert srs.n >= n, f"SRS too small: {srs.n} < {n}"
+    srs = srs.truncated(k)
+
+    # ---- fixed columns (padded to n) + table columns ------------------
+    tags_col, values_col = build_table(builder.lookup_widths)
+    assert len(tags_col) <= domain.usable_rows, "lookup table exceeds usable rows"
+    fixed_host: dict[str, list[int]] = {}
+    for name in FIXED_NAMES:
+        col = builder.fixed[name]
+        fixed_host[name] = col + [0] * (n - len(col))
+    fixed_host["table_tag"] = tags_col + [0] * (n - len(tags_col))
+    fixed_host["table_value"] = values_col + [0] * (n - len(values_col))
+
+    # ---- permutation sigmas -------------------------------------------
+    omega_pows = [1] * n
+    for r in range(1, n):
+        omega_pows[r] = omega_pows[r - 1] * domain.omega % FR.p
+    delta_powers = [pow(DELTA, c, FR.p) for c in range(NUM_ADVICE)]
+    # sigma starts as the identity labelling
+    sigma_cols = [[delta_powers[c] * omega_pows[r] % FR.p for r in range(n)] for c in range(NUM_ADVICE)]
+    for cycle in builder.permutation_cycles():
+        # rotate: sigma[cell_i] <- label(cell_{i+1})
+        labels = [delta_powers[c] * omega_pows[r] % FR.p for (c, r) in cycle]
+        for i, (c, r) in enumerate(cycle):
+            sigma_cols[c][r] = labels[(i + 1) % len(cycle)]
+
+    # ---- device transforms -------------------------------------------
+    jit_t = jax.jit(lambda col: _to_coeff_and_ext(domain, col))
+    fixed_raw, fixed_coeff, fixed_ext = {}, {}, {}
+    for name in ALL_FIXED:
+        dev = jnp.asarray(ctx.to_mont_np(fixed_host[name]))
+        coeff, ext = jit_t(dev)
+        fixed_raw[name], fixed_coeff[name], fixed_ext[name] = dev, coeff, ext
+    sigma_coeff, sigma_ext = [], []
+    for c in range(NUM_ADVICE):
+        dev = jnp.asarray(ctx.to_mont_np(sigma_cols[c]))
+        coeff, ext = jit_t(dev)
+        sigma_coeff.append(coeff)
+        sigma_ext.append(ext)
+
+    # lagrange masks
+    def lag_col(rows):
+        col = [0] * n
+        for r in rows:
+            col[r] = 1
+        dev = jnp.asarray(ctx.to_mont_np(col))
+        return jit_t(dev)[1]
+
+    l0_ext = lag_col([0])
+    l_last_ext = lag_col([domain.usable_rows])
+    l_blind_ext = lag_col(range(domain.usable_rows + 1, n))
+
+    # identity poly X on the extended coset: zeta * omega_ext^j
+    xs, cur = [], domain.zeta
+    for _ in range(domain.n_ext):
+        xs.append(cur)
+        cur = cur * domain.omega_ext % FR.p
+    x_ext = jnp.asarray(ctx.to_mont_np(xs))
+
+    # 1/(X^n-1) on the extended coset: period-MAX_DEGREE sequence
+    zh = []
+    zeta_n = pow(domain.zeta, n, FR.p)
+    w_n = pow(domain.omega_ext, n, FR.p)  # order 8
+    cur = zeta_n
+    from .domain import MAX_DEGREE
+
+    for _ in range(MAX_DEGREE):
+        zh.append(FR.inv((cur - 1) % FR.p))
+        cur = cur * w_n % FR.p
+    zh_full = [zh[j % MAX_DEGREE] for j in range(domain.n_ext)]
+    zh_inv_ext = jnp.asarray(ctx.to_mont_np(zh_full))
+
+    # ---- commitments --------------------------------------------------
+    jit_commit = jax.jit(lambda pts, s: M.msm(pts, s))
+    g1 = srs.g1_powers
+
+    def commit_coeff(coeff):
+        can = jax.jit(lambda a: L.mont_to_canonical(ctx, a))(coeff)
+        res = jit_commit(g1, can)
+        return M.points_from_device(res[None])[0]
+
+    fixed_comms = {name: commit_coeff(fixed_coeff[name]) for name in ALL_FIXED}
+    sigma_comms = [commit_coeff(c) for c in sigma_coeff]
+
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=32)
+    from ..curves.bn254 import g1_to_bytes
+
+    h.update(bytes([k]))
+    for name in ALL_FIXED:
+        h.update(g1_to_bytes(fixed_comms[name]))
+    for pt in sigma_comms:
+        h.update(g1_to_bytes(pt))
+    vk = VerifyingKey(domain, fixed_comms, sigma_comms, h.digest())
+    pk = ProvingKey(
+        vk=vk,
+        fixed_raw=fixed_raw,
+        fixed_coeff=fixed_coeff,
+        fixed_ext=fixed_ext,
+        sigma_coeff=sigma_coeff,
+        sigma_ext=sigma_ext,
+        l0_ext=l0_ext,
+        l_last_ext=l_last_ext,
+        l_blind_ext=l_blind_ext,
+        x_ext=x_ext,
+        zeta_powers=_zeta_powers(domain),
+        zeta_inv_powers=_zeta_inv_powers(domain),
+        zh_inv_ext=zh_inv_ext,
+        delta_powers=delta_powers,
+    )
+    return pk, vk

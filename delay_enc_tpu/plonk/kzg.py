@@ -1,0 +1,99 @@
+"""KZG structured reference string and commitments.
+
+Replaces `ParamsKZG::<Bn256>::setup` + the commitment MSMs inside
+create_proof (reference benches/delay_enc.rs:39-54,123).  The SRS G1 powers
+are built ON DEVICE with the fixed-base batched scalar-mul kernel and cached
+to disk keyed by k — mirroring the reference's `./benches/data` artifact
+cache (delay_enc.rs:39-54).
+
+The trusted-setup secret tau is generated from OS randomness and discarded
+(same security model as the reference's OsRng setup: test/bench-grade, not a
+ceremony).
+"""
+
+from __future__ import annotations
+
+import os
+import secrets
+
+import jax
+import numpy as np
+
+from ..curves.bn254 import G1, G2, G1_GEN, G2_GEN
+from ..fields.bn254 import FR
+from ..ops import limbs as L
+from ..ops import msm as M
+
+
+class SRS:
+    def __init__(self, k: int, g1_powers_dev, tau_g2, g2):
+        self.k = k
+        self.n = 1 << k
+        self.g1_powers = g1_powers_dev  # (n,3,16) projective Montgomery
+        self.tau_g2 = tau_g2  # [tau] G2 (host)
+        self.g2 = g2  # G2 generator
+
+    @staticmethod
+    def setup(k: int, cache_dir: str | None = None, tau: int | None = None) -> "SRS":
+        cache = None
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+            cache = os.path.join(cache_dir, f"srs_bn254_k{k}.npz")
+            if os.path.exists(cache):
+                return SRS.load(cache)
+        if tau is None:
+            tau = (secrets.randbits(300) % (FR.p - 1)) + 1
+        n = 1 << k
+        # tau powers host-side (cheap), points on device (fixed-base kernel)
+        powers = []
+        cur = 1
+        for _ in range(n):
+            powers.append(cur)
+            cur = cur * tau % FR.p
+        table = M.base_table(G1_GEN)
+        scalar_limbs = M.scalars_to_limbs(powers)
+        g1_powers = jax.jit(M.fixed_base_batch_mul)(table, scalar_limbs)
+        g1_powers.block_until_ready()
+        tau_g2 = G2.mul(G2_GEN, tau)
+        srs = SRS(k, g1_powers, tau_g2, G2_GEN)
+        del tau, powers
+        if cache:
+            srs.save(cache)
+        return srs
+
+    # ---- persistence (artifact cache parity: benches/data) -----------
+    def save(self, path: str) -> None:
+        arr = np.asarray(jax.device_get(self.g1_powers))
+        tg = self.tau_g2
+        np.savez_compressed(
+            path,
+            k=self.k,
+            g1=arr,
+            tau_g2=np.array(
+                [tg[0].c0, tg[0].c1, tg[1].c0, tg[1].c1], dtype=object
+            ).astype(str),
+        )
+
+    @staticmethod
+    def load(path: str) -> "SRS":
+        import jax.numpy as jnp
+        from ..fields.bn254 import Fq2
+
+        z = np.load(path, allow_pickle=True)
+        k = int(z["k"])
+        g1 = jnp.asarray(z["g1"])
+        t = [int(s) for s in z["tau_g2"]]
+        tau_g2 = (Fq2(t[0], t[1]), Fq2(t[2], t[3]))
+        return SRS(k, g1, tau_g2, G2_GEN)
+
+    def truncated(self, k: int) -> "SRS":
+        """A lower-degree view of the same SRS (shared tau)."""
+        assert k <= self.k
+        return SRS(k, self.g1_powers[: 1 << k], self.tau_g2, self.g2)
+
+
+def commit(srs: SRS, coeff_limbs) -> jax.Array:
+    """KZG commitment to a coefficient-form poly: MSM over the SRS powers.
+    coeff_limbs: (m,16) canonical limb scalars (m <= n).  Returns (3,16)."""
+    m = coeff_limbs.shape[0]
+    return M.msm(srs.g1_powers[:m], coeff_limbs)

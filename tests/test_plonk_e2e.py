@@ -1,0 +1,73 @@
+"""End-to-end proof pipeline test on a small circuit: keygen -> create_proof
+-> verify_proof (KZG/GWC with real pairings), plus tamper rejection.
+
+Mirrors the role of the reference's bench pipeline (benches/delay_enc.rs:
+setup -> keygen -> create_proof -> verify_proof) at a toy size."""
+
+import numpy as np
+import pytest
+
+from delay_enc_tpu.cs import Builder, MainGate, RangeChip, Term
+from delay_enc_tpu.fields import FR
+from delay_enc_tpu.plonk import SRS, create_proof, keygen, verify_proof
+
+
+@pytest.fixture(scope="module")
+def srs():
+    return SRS.setup(7, tau=123456789)  # fixed tau: deterministic test SRS
+
+
+def _build_circuit(x0=7, y0=11):
+    b = Builder(FR)
+    mg = MainGate(b)
+    rc = RangeChip(b)
+    x = mg.assign_value(x0)
+    y = mg.assign_value(y0)
+    s = mg.add(x, y)
+    m = mg.mul(x, y)
+    acc = mg.compose([Term(x, 2), Term(y, 3), Term(s, 1), Term(m, 5)], constant=9)
+    bit = mg.assign_bit(1)
+    sel = mg.select(s, m, bit)
+    mg.assert_equal(sel, s)
+    rc.assign(45, 2, 6)  # range lookup path (table width 2)
+    mg.assert_one(mg.is_equal(acc, mg.assign_value(acc.value)))
+    return b
+
+
+def test_prove_and_verify(srs):
+    b = _build_circuit()
+    pk, vk = keygen(b, srs)
+    assert vk.domain.k <= 7
+    rng = np.random.default_rng(42)
+    proof = create_proof(srs, pk, b, rng)
+    assert verify_proof(srs, vk, proof)
+
+
+def test_proof_rejects_tampering(srs):
+    b = _build_circuit()
+    pk, vk = keygen(b, srs)
+    proof = create_proof(srs, pk, b, np.random.default_rng(1))
+    assert verify_proof(srs, vk, proof)
+    # flip a byte in an eval region (scalar area near the end)
+    bad = bytearray(proof)
+    bad[-40] ^= 1
+    assert not verify_proof(srs, vk, bytes(bad))
+
+
+def test_bad_witness_proof_fails(srs):
+    b = _build_circuit()
+    pk, vk = keygen(b, srs)
+    # tamper witness: break the add gate
+    b2 = _build_circuit()
+    b2.advice[2][2] = (b2.advice[2][2] + 1) % FR.p
+    proof = create_proof(srs, pk, b2, np.random.default_rng(2))
+    assert not verify_proof(srs, vk, proof)
+
+
+def test_different_instances_same_vk(srs):
+    # same structure, different witness -> still verifies under the same keys
+    b1 = _build_circuit(7, 11)
+    pk, vk = keygen(b1, srs)
+    b2 = _build_circuit(13, 17)
+    proof = create_proof(srs, pk, b2, np.random.default_rng(3))
+    assert verify_proof(srs, vk, proof)
