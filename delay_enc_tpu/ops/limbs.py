@@ -106,29 +106,33 @@ FQ_CTX = FieldCtx.make(FQ)
 # ------------------------------------------------------------- device math
 
 def _carry_propagate(cols: jnp.ndarray, n_out: int) -> jnp.ndarray:
-    """Sequential carry chain: cols (…, >=n_out) with entries < 2^32 ->
-    canonical 16-bit limbs (…, n_out).  The overall value must fit n_out
-    limbs (guaranteed by callers)."""
-    outs = []
-    carry = jnp.zeros(cols.shape[:-1], jnp.uint32)
-    for i in range(n_out):
-        v = cols[..., i] + carry
-        outs.append(v & MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(outs, axis=-1)
+    """Sequential carry chain as a lax.scan over limb positions (body traced
+    once — XLA compile time on these integer graphs is dominated by op
+    count, so every per-limb loop in this module is a scan)."""
+    cols_t = jnp.moveaxis(cols[..., :n_out], -1, 0)
+
+    def step(carry, col):
+        v = col + carry
+        return v >> LIMB_BITS, v & MASK
+
+    # init derived from the input so it carries the same manual-axes type
+    # under shard_map (jnp.zeros would not)
+    _, outs = jax.lax.scan(step, cols[..., 0] * 0, cols_t)
+    return jnp.moveaxis(outs, 0, -1)
 
 
 def _sub_p_if_ge(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
     """a (canonical limbs, value < 2p) -> a mod p via branchless borrow chain."""
-    p = ctx.p_limbs
-    diffs = []
-    borrow = jnp.zeros(a.shape[:-1], jnp.uint32)
-    for i in range(NLIMB):
-        d = a[..., i] - p[i] - borrow
-        borrow = (d >> 31) & 1  # underflow flag (top bit set after wrap)
-        # bring the wrapped difference back into 16 bits
-        diffs.append(d & MASK)
-    diff = jnp.stack(diffs, axis=-1)
+    a_t = jnp.moveaxis(a, -1, 0)
+    p_t = ctx.p_limbs.reshape(NLIMB, *([1] * (a.ndim - 1)))
+
+    def step(borrow, inp):
+        ai, pi = inp
+        d = ai - pi - borrow
+        return (d >> 31) & 1, d & MASK
+
+    borrow, diffs = jax.lax.scan(step, a[..., 0] * 0 + jnp.uint32(0) * p_t[0], (a_t, p_t))
+    diff = jnp.moveaxis(diffs, 0, -1)
     ge = (borrow == 0)[..., None]  # a >= p
     return jnp.where(ge, diff, a)
 
@@ -139,21 +143,22 @@ def add(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def sub(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    # (a + p) - b via a fused carry/borrow chain; result < 2p, then reduce.
-    s = a + ctx.p_limbs  # columns < 2^17
-    outs = []
-    carry = jnp.zeros(a.shape[:-1], jnp.uint32)
-    borrow = jnp.zeros(a.shape[:-1], jnp.uint32)
-    for i in range(NLIMB):
-        v = s[..., i] + carry
-        carry = v >> LIMB_BITS
-        d = (v & MASK) - b[..., i] - borrow
-        borrow = (d >> 31) & 1
-        outs.append(d & MASK)
+    # (a + p) - b via a fused carry/borrow scan; result < 2p, then reduce.
+    s_t = jnp.moveaxis(a + ctx.p_limbs, -1, 0)  # columns < 2^17
+    b_t = jnp.moveaxis(b, -1, 0)
+
+    def step(state, inp):
+        carry, borrow = state
+        v, bi = inp
+        v = v + carry
+        d = (v & MASK) - bi - borrow
+        return ((v >> LIMB_BITS), (d >> 31) & 1), d & MASK
+
+    zero = a[..., 0] * 0 + b[..., 0] * 0
+    _, outs = jax.lax.scan(step, (zero, zero), (s_t, b_t))
     # For p < 2^255, a + p - b < 2p < 2^256: the value fits 16 limbs exactly
     # (final carry cancels the final borrow), so no top limb is needed.
-    res = jnp.stack(outs, axis=-1)
-    return _sub_p_if_ge(ctx, res)
+    return _sub_p_if_ge(ctx, jnp.moveaxis(outs, 0, -1))
 
 
 def neg(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
@@ -173,42 +178,68 @@ def select(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(cond[..., None], a, b)
 
 
-def _shift_add(cols: jnp.ndarray, x: jnp.ndarray, off: int) -> jnp.ndarray:
-    """cols += x placed at column offset `off` (pad+add: no scatters — XLA
-    compiles scatters orders of magnitude slower than concat/pad)."""
-    w = cols.shape[-1]
-    pad = [(0, 0)] * (x.ndim - 1) + [(off, w - x.shape[-1] - off)]
-    return cols + jnp.pad(x, pad)
+def _pad_to(x: jnp.ndarray, width: int) -> jnp.ndarray:
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, width - x.shape[-1])]
+    return jnp.pad(x, pad)
 
 
 def _schoolbook_cols(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Full 512-bit product in 32 carry-save columns (each < 2^21)."""
+    """Full 512-bit product in 32 carry-save columns (each < 2^21).
+    Anti-diagonal accumulation as a scan over the 16 b-limbs, each shifted
+    into place with a dynamic roll (no scatters, tiny trace)."""
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
     t = a[..., :, None] * b[..., None, :]  # (…,16,16) exact in uint32
-    lo = t & MASK
-    hi = t >> LIMB_BITS
-    cols = jnp.zeros(a.shape[:-1] + (2 * NLIMB,), jnp.uint32)
-    for j in range(NLIMB):
-        cols = _shift_add(cols, lo[..., :, j], j)
-        cols = _shift_add(cols, hi[..., :, j], j + 1)
+    lo = jnp.moveaxis(t & MASK, -1, 0)  # (16, …, 16) indexed by j
+    hi = jnp.moveaxis(t >> LIMB_BITS, -1, 0)
+    width = 2 * NLIMB
+    # derive the init from BOTH operands so its manual-axes varying
+    # type matches the body output under shard_map
+    init = jnp.concatenate([a, b], axis=-1) * 0
+    js = jnp.arange(NLIMB, dtype=jnp.int32)
+
+    def step(cols, inp):
+        lo_j, hi_j, j = inp
+        cols = cols + jnp.roll(_pad_to(lo_j, width), j, axis=-1)
+        cols = cols + jnp.roll(_pad_to(hi_j, width), j + 1, axis=-1)
+        return cols, None
+
+    cols, _ = jax.lax.scan(step, init, (lo, hi, js))
     return cols
 
 
 def mont_mul(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product: a*b*R^-1 mod p (inputs/outputs in Montgomery form,
-    canonical 16-bit limbs)."""
+    canonical 16-bit limbs).  Reduction is a 16-step scan with a scalar
+    carry-of-column-i state (the retired column's upper bits), so no dynamic
+    scatters are needed."""
     p = ctx.p_limbs
     np_ = jnp.uint32(ctx.n_prime)
+    width = 2 * NLIMB
     cols = _schoolbook_cols(a, b)
-    # 16 reduction steps; cols entries stay < 2^21 + 16*2^16 + carries < 2^23
-    for i in range(NLIMB):
-        low = cols[..., i] & MASK
+    first_mask = jnp.ones(NLIMB, jnp.uint32).at[0].set(0)
+
+    def step(state, i):
+        cols, carry = state
+        total_i = jax.lax.dynamic_index_in_dim(cols, i, axis=-1, keepdims=False) + carry
+        low = total_i & MASK
         u = (low * np_) & MASK
-        up = u[..., None] * p  # (…,16) uint32 exact
-        cols = _shift_add(cols, up & MASK, i)
-        cols = _shift_add(cols, up >> LIMB_BITS, i + 1)
-        # column i is now ≡ 0 mod 2^16; push all its upper bits to column i+1
-        cols = _shift_add(cols, (cols[..., i] >> LIMB_BITS)[..., None], i + 1)
-    res = _carry_propagate(cols[..., NLIMB:], NLIMB)
+        up = u[..., None] * p  # (…,16) exact
+        up_lo = up & MASK
+        up_hi = up >> LIMB_BITS
+        # column i retires: its final value is total_i + up_lo[0]; only the
+        # upper bits survive, carried into column i+1 via the scalar state.
+        carry_next = (total_i + up_lo[..., 0]) >> LIMB_BITS
+        cols = cols + jnp.roll(_pad_to(up_lo * first_mask, width), i, axis=-1)
+        cols = cols + jnp.roll(_pad_to(up_hi, width), i + 1, axis=-1)
+        return (cols, carry_next), None
+
+    init = (cols, cols[..., 0] * 0)
+    (cols, carry), _ = jax.lax.scan(step, init, jnp.arange(NLIMB, dtype=jnp.int32))
+    top = cols[..., NLIMB:]
+    top = jnp.concatenate([(top[..., 0] + carry)[..., None], top[..., 1:]], axis=-1)
+    res = _carry_propagate(top, NLIMB)
     return _sub_p_if_ge(ctx, res)
 
 
@@ -240,7 +271,7 @@ def inv(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
         with_mul = mont_mul(ctx, result, a)
         return select(jnp.broadcast_to(bit.astype(bool), a.shape[:-1]), with_mul, result), None
 
-    init = jnp.broadcast_to(ctx.one_mont(), a.shape)
+    init = a * 0 + ctx.one_mont()
     out, _ = jax.lax.scan(step, init, bits)
     return out
 
@@ -256,7 +287,7 @@ def batch_inv(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
         nxt = mont_mul(ctx, carry, x)
         return nxt, carry  # prefix products exclusive
 
-    total, prefixes = jax.lax.scan(fwd, jnp.broadcast_to(ctx.one_mont(), a.shape[1:]), a_safe)
+    total, prefixes = jax.lax.scan(fwd, a[0] * 0 + ctx.one_mont(), a_safe)
     total_inv = inv(ctx, total)
 
     def bwd(carry, xs):

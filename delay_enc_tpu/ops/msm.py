@@ -82,44 +82,47 @@ def _mul3(ctx: FieldCtx, x: jnp.ndarray) -> jnp.ndarray:
 
 def complete_add(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     """Branchless complete addition on y^2 = x^3 + 3 (b3 = 9).
-    Renes-Costello-Batina Algorithm 7; p, q: (..., 3, 16) Montgomery."""
+    Renes-Costello-Batina Algorithm 7; p, q: (..., 3, 16) Montgomery.
+
+    The 12 field multiplies are packed into two *batched* mont_mul calls
+    (6 products each, stacked on a fresh leading axis): the XLA graph is
+    ~6x smaller and the VPU sees 6x wider vectors."""
     ctx = FQ_CTX
     X1, Y1, Z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
     X2, Y2, Z2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]
-    mul, add, sub = (
-        lambda a, b: L.mont_mul(ctx, a, b),
-        lambda a, b: L.add(ctx, a, b),
-        lambda a, b: L.sub(ctx, a, b),
+    add = lambda a, b: L.add(ctx, a, b)
+    sub = lambda a, b: L.sub(ctx, a, b)
+
+    # pre-adds, batched: [X1+Y1, Y1+Z1, X1+Z1, X2+Y2, Y2+Z2, X2+Z2]
+    s = add(jnp.stack([X1, Y1, X1, X2, Y2, X2]), jnp.stack([Y1, Z1, Z1, Y2, Z2, Z2]))
+    # round 1: t0=X1X2, t1=Y1Y2, t2=Z1Z2, m3.., m4.., m5..
+    r1 = L.mont_mul(
+        ctx,
+        jnp.stack([X1, Y1, Z1, s[0], s[1], s[2]]),
+        jnp.stack([X2, Y2, Z2, s[3], s[4], s[5]]),
     )
+    t0, t1, t2, m3, m4, m5 = (r1[i] for i in range(6))
 
-    def b3(x):  # 9x = 3*(3x)
-        return _mul3(ctx, _mul3(ctx, x))
+    pair = add(jnp.stack([t0, t1, t0]), jnp.stack([t1, t2, t2]))
+    d3 = sub(jnp.stack([m3, m4, m5]), pair)  # [t3, t4, Y3pre]
+    t3, t4, y3p = d3[0], d3[1], d3[2]
+    # triples: [3*t2, 3*Y3pre, 3*t0] then [9*t2, 9*Y3pre]
+    tri_in = jnp.stack([t2, y3p, t0])
+    tri = add(add(tri_in, tri_in), tri_in)
+    nine_in = tri[:2]
+    nine = add(add(nine_in, nine_in), nine_in)
+    t2_9, Y3 = nine[0], nine[1]
+    t0 = tri[2]
+    Z3 = add(t1, t2_9)
+    t1 = sub(t1, t2_9)
 
-    t0 = mul(X1, X2)
-    t1 = mul(Y1, Y2)
-    t2 = mul(Z1, Z2)
-    t3 = mul(add(X1, Y1), add(X2, Y2))
-    t3 = sub(t3, add(t0, t1))
-    t4 = mul(add(Y1, Z1), add(Y2, Z2))
-    t4 = sub(t4, add(t1, t2))
-    X3 = mul(add(X1, Z1), add(X2, Z2))
-    Y3 = sub(X3, add(t0, t2))
-    X3 = add(t0, t0)
-    t0 = add(X3, t0)
-    t2 = b3(t2)
-    Z3 = add(t1, t2)
-    t1 = sub(t1, t2)
-    Y3 = b3(Y3)
-    X3 = mul(t4, Y3)
-    t2 = mul(t3, t1)
-    X3 = sub(t2, X3)
-    Y3 = mul(Y3, t0)
-    t1 = mul(t1, Z3)
-    Y3 = add(t1, Y3)
-    t0 = mul(t0, t3)
-    Z3 = mul(Z3, t4)
-    Z3 = add(Z3, t0)
-    return jnp.stack([X3, Y3, Z3], axis=-2)
+    # round 2: [t4*Y3, t3*t1, Y3*t0, t1*Z3, t0*t3, Z3*t4]
+    r2 = L.mont_mul(
+        ctx, jnp.stack([t4, t3, Y3, t1, t0, Z3]), jnp.stack([Y3, t1, t0, Z3, t3, t4])
+    )
+    X3 = sub(r2[1], r2[0])
+    fin = add(jnp.stack([r2[3], r2[5]]), jnp.stack([r2[2], r2[4]]))
+    return jnp.stack([X3, fin[0], fin[1]], axis=-2)
 
 
 def point_double(p: jnp.ndarray) -> jnp.ndarray:
@@ -200,14 +203,22 @@ def msm(points: jnp.ndarray, scalar_limbs: jnp.ndarray, plane_chunk: int = 64) -
     b = bits.reshape(SCALAR_BITS, quads, 4)
     sel = b[..., 0] + 2 * b[..., 1] + 4 * b[..., 2] + 8 * b[..., 3]  # (254, n/4)
 
-    # per-plane chunked select + tree reduce
-    plane_sums = []
+    # per-plane chunked select + tree reduce; lax.map so the chunk body is
+    # traced/compiled once regardless of the number of chunks
     quad_idx = jnp.arange(quads)
-    for start in range(0, SCALAR_BITS, plane_chunk):
-        s = sel[start : start + plane_chunk]  # (C, quads)
+    n_chunks = (SCALAR_BITS + plane_chunk - 1) // plane_chunk
+    pad_planes = n_chunks * plane_chunk - SCALAR_BITS
+    sel_padded = jnp.concatenate(
+        [sel, jnp.zeros((pad_planes, quads), sel.dtype)], axis=0
+    ).reshape(n_chunks, plane_chunk, quads)
+
+    def chunk_body(s):
         selected = combos[quad_idx[None, :], s]  # (C, quads, 3, 16)
-        plane_sums.append(_tree_reduce(selected))  # (C, 3, 16)
-    plane_sums = jnp.concatenate(plane_sums, axis=0)  # (254, 3, 16)
+        return _tree_reduce(selected)  # (C, 3, 16)
+
+    plane_sums = jax.lax.map(chunk_body, sel_padded).reshape(
+        n_chunks * plane_chunk, 3, L.NLIMB
+    )[:SCALAR_BITS]
 
     # Horner combine from the MSB plane
     def step(acc, s_b):

@@ -40,8 +40,8 @@ class NTTPlan:
     k: int
     omega: int  # primitive 2^k-th root of unity (canonical int)
     bitrev: jnp.ndarray  # (n,) int32
-    twiddles: tuple  # per stage: (half,16) mont
-    inv_twiddles: tuple
+    omega_pows: jnp.ndarray  # (n/2,16) mont powers of omega
+    omega_inv_pows: jnp.ndarray
     n_inv: jnp.ndarray  # (16,) mont of 1/n
 
     @property
@@ -55,54 +55,59 @@ class NTTPlan:
         if omega is None:
             omega = f.root_of_unity(k)
         omega_inv = f.inv(omega)
-        tw, itw = [], []
-        for s in range(1, k + 1):
-            m = 1 << s
-            half = m // 2
-            w_m = pow(omega, n // m, f.p)
-            w_m_inv = pow(omega_inv, n // m, f.p)
-            ws, wsi, cur, curi = [], [], 1, 1
-            for _ in range(half):
-                ws.append(cur)
-                wsi.append(curi)
-                cur = cur * w_m % f.p
-                curi = curi * w_m_inv % f.p
-            tw.append(jnp.asarray(ctx.to_mont_np(ws)))
-            itw.append(jnp.asarray(ctx.to_mont_np(wsi)))
+        ws, wsi, cur, curi = [], [], 1, 1
+        for _ in range(max(1, n // 2)):
+            ws.append(cur)
+            wsi.append(curi)
+            cur = cur * omega % f.p
+            curi = curi * omega_inv % f.p
         return NTTPlan(
             ctx=ctx,
             k=k,
             omega=omega,
             bitrev=jnp.asarray(_bit_reverse_indices(n)),
-            twiddles=tuple(tw),
-            inv_twiddles=tuple(itw),
+            omega_pows=jnp.asarray(ctx.to_mont_np(ws)),
+            omega_inv_pows=jnp.asarray(ctx.to_mont_np(wsi)),
             n_inv=jnp.asarray(ctx.to_mont_np([f.inv(n)])[0]),
         )
 
 
-def _core(plan: NTTPlan, a: jnp.ndarray, twiddles) -> jnp.ndarray:
+def _core(plan: NTTPlan, a: jnp.ndarray, omega_pows: jnp.ndarray) -> jnp.ndarray:
+    """Iterative DIT with bit-reversed input, expressed as a lax.scan over
+    the k stages with fixed shapes: partner exchange is an XOR gather,
+    twiddles are gathered from the shared power table — one traced stage
+    body, ~20 primitives, regardless of k (XLA compile time is the scarce
+    resource for these integer graphs)."""
     ctx = plan.ctx
     n = plan.n
+    k = plan.k
     a = jnp.take(a, plan.bitrev, axis=0)
-    for s in range(1, plan.k + 1):
-        m = 1 << s
-        half = m // 2
-        tw = twiddles[s - 1]  # (half,16)
-        a = a.reshape(n // m, 2, half, L.NLIMB)
-        u = a[:, 0]
-        v = L.mont_mul(ctx, a[:, 1], tw[None, :, :])
-        a = jnp.stack([L.add(ctx, u, v), L.sub(ctx, u, v)], axis=1)
-    return a.reshape(n, L.NLIMB)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def stage(a, s):
+        half = jnp.int32(1) << (s - 1)
+        partner = idx ^ half
+        is_hi = (idx & half) != 0
+        tw_idx = (idx & (half - 1)) << (k - s)
+        w = jnp.take(omega_pows, tw_idx, axis=0)
+        y = jnp.take(a, partner, axis=0)
+        t_in = jnp.where(is_hi[:, None], a, y)
+        t = L.mont_mul(ctx, w, t_in)
+        out = jnp.where(is_hi[:, None], L.sub(ctx, y, t), L.add(ctx, a, t))
+        return out, None
+
+    a, _ = jax.lax.scan(stage, a, jnp.arange(1, k + 1, dtype=jnp.int32))
+    return a
 
 
 def ntt(plan: NTTPlan, a: jnp.ndarray) -> jnp.ndarray:
     """Coefficients -> evaluations over the 2^k subgroup (Montgomery limbs)."""
-    return _core(plan, a, plan.twiddles)
+    return _core(plan, a, plan.omega_pows)
 
 
 def intt(plan: NTTPlan, a: jnp.ndarray) -> jnp.ndarray:
     """Evaluations -> coefficients."""
-    out = _core(plan, a, plan.inv_twiddles)
+    out = _core(plan, a, plan.omega_inv_pows)
     return L.mont_mul(plan.ctx, out, plan.n_inv[None, :])
 
 
