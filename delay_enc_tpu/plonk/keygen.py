@@ -124,6 +124,12 @@ def keygen(builder: Builder, srs, k: int | None = None):
         k = min_k(builder)
     domain = Domain(k)
     n = domain.n
+    # materialize NTT plans and coset-power tables eagerly — constructing
+    # them lazily inside a jit trace would cache tracer-backed tables
+    # (UnexpectedTracerError)
+    domain.plan, domain.plan_ext  # noqa: B018
+    _zeta_powers(domain)
+    _zeta_inv_powers(domain)
     assert builder.rows <= domain.usable_rows, (
         f"circuit rows {builder.rows} exceed usable {domain.usable_rows} at k={k}"
     )
