@@ -104,11 +104,34 @@ FQ_CTX = FieldCtx.make(FQ)
 
 
 # ------------------------------------------------------------- device math
+#
+# Every per-limb chain has two implementations:
+#  * a lax.scan form (tiny trace, fast XLA compiles) for large batches,
+#  * an unrolled form for small batches, where a scan's ~16 sequential
+#    micro-kernels per op would make depth-bound chains (e.g. the MSM
+#    Horner combine over 254 bit planes) dispatch-latency-bound.
+# `_is_small` picks the variant by static batch size.
+
+_UNROLL_MAX_ELEMS = 64
+
+
+def _is_small(shape) -> bool:
+    n = 1
+    for d in shape[:-1]:
+        n *= int(d)
+    return n <= _UNROLL_MAX_ELEMS
+
 
 def _carry_propagate(cols: jnp.ndarray, n_out: int) -> jnp.ndarray:
-    """Sequential carry chain as a lax.scan over limb positions (body traced
-    once — XLA compile time on these integer graphs is dominated by op
-    count, so every per-limb loop in this module is a scan)."""
+    """Sequential carry chain over limb positions."""
+    if _is_small(cols.shape):
+        outs = []
+        carry = cols[..., 0] * 0
+        for i in range(n_out):
+            v = cols[..., i] + carry
+            outs.append(v & MASK)
+            carry = v >> LIMB_BITS
+        return jnp.stack(outs, axis=-1)
     cols_t = jnp.moveaxis(cols[..., :n_out], -1, 0)
 
     def step(carry, col):
@@ -123,6 +146,16 @@ def _carry_propagate(cols: jnp.ndarray, n_out: int) -> jnp.ndarray:
 
 def _sub_p_if_ge(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
     """a (canonical limbs, value < 2p) -> a mod p via branchless borrow chain."""
+    if _is_small(a.shape):
+        p = ctx.p_limbs
+        diffs = []
+        borrow = a[..., 0] * 0
+        for i in range(NLIMB):
+            d = a[..., i] - p[i] - borrow
+            borrow = (d >> 31) & 1
+            diffs.append(d & MASK)
+        diff = jnp.stack(diffs, axis=-1)
+        return jnp.where((borrow == 0)[..., None], diff, a)
     a_t = jnp.moveaxis(a, -1, 0)
     p_t = ctx.p_limbs.reshape(NLIMB, *([1] * (a.ndim - 1)))
 
@@ -137,28 +170,92 @@ def _sub_p_if_ge(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(ge, diff, a)
 
 
-def add(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    s = _carry_propagate(a + b, NLIMB)  # sums < 2^17 per column; value < 2p
-    return _sub_p_if_ge(ctx, s)
-
-
-def sub(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    # (a + p) - b via a fused carry/borrow scan; result < 2p, then reduce.
-    s_t = jnp.moveaxis(a + ctx.p_limbs, -1, 0)  # columns < 2^17
-    b_t = jnp.moveaxis(b, -1, 0)
+def _carry_and_mod(ctx: FieldCtx, cols: jnp.ndarray) -> jnp.ndarray:
+    """Fused carry-propagate (16 columns, values < 2^32, total < 2p after
+    propagation) + conditional subtract-p — a single 16-step chain instead
+    of two (sequential depth is the scarce resource on-device)."""
+    p = ctx.p_limbs
+    if _is_small(cols.shape):
+        limbs, diffs = [], []
+        carry = cols[..., 0] * 0
+        borrow = carry
+        for i in range(NLIMB):
+            v = cols[..., i] + carry
+            limb = v & MASK
+            carry = v >> LIMB_BITS
+            d = limb - p[i] - borrow
+            borrow = (d >> 31) & 1
+            limbs.append(limb)
+            diffs.append(d & MASK)
+        raw = jnp.stack(limbs, axis=-1)
+        diff = jnp.stack(diffs, axis=-1)
+        return jnp.where((borrow == 0)[..., None], diff, raw)
+    cols_t = jnp.moveaxis(cols[..., :NLIMB], -1, 0)
+    p_t = p.reshape(NLIMB, *([1] * (cols.ndim - 1)))
 
     def step(state, inp):
         carry, borrow = state
-        v, bi = inp
+        ci, pi = inp
+        v = ci + carry
+        limb = v & MASK
+        d = limb - pi - borrow
+        return ((v >> LIMB_BITS), (d >> 31) & 1), (limb, d & MASK)
+
+    zero = cols[..., 0] * 0
+    (carry, borrow), (limbs, diffs) = jax.lax.scan(step, (zero, zero), (cols_t, p_t))
+    raw = jnp.moveaxis(limbs, 0, -1)
+    diff = jnp.moveaxis(diffs, 0, -1)
+    return jnp.where((borrow == 0)[..., None], diff, raw)
+
+
+def add(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return _carry_and_mod(ctx, a + b)  # column sums < 2^17, value < 2p
+
+
+def sub(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    # (a + p) - b via a fused carry/borrow chain; result < 2p, then reduce.
+    p = ctx.p_limbs
+    if _is_small(a.shape) and _is_small(b.shape):
+        s = a + ctx.p_limbs
+        outs, diffs = [], []
+        carry = a[..., 0] * 0
+        borrow = carry
+        borrow2 = carry
+        for i in range(NLIMB):
+            v = s[..., i] + carry
+            carry = v >> LIMB_BITS
+            d = (v & MASK) - b[..., i] - borrow
+            borrow = (d >> 31) & 1
+            r = d & MASK
+            d2 = r - p[i] - borrow2
+            borrow2 = (d2 >> 31) & 1
+            outs.append(r)
+            diffs.append(d2 & MASK)
+        raw = jnp.stack(outs, axis=-1)
+        diff = jnp.stack(diffs, axis=-1)
+        return jnp.where((borrow2 == 0)[..., None], diff, raw)
+    s_t = jnp.moveaxis(a + ctx.p_limbs, -1, 0)  # columns < 2^17
+    b_t = jnp.moveaxis(b, -1, 0)
+    p_t = p.reshape(NLIMB, *([1] * (a.ndim - 1)))
+
+    def step(state, inp):
+        carry, borrow, borrow2 = state
+        v, bi, pi = inp
         v = v + carry
         d = (v & MASK) - bi - borrow
-        return ((v >> LIMB_BITS), (d >> 31) & 1), d & MASK
+        r = d & MASK
+        d2 = r - pi - borrow2
+        return ((v >> LIMB_BITS), (d >> 31) & 1, (d2 >> 31) & 1), (r, d2 & MASK)
 
     zero = a[..., 0] * 0 + b[..., 0] * 0
-    _, outs = jax.lax.scan(step, (zero, zero), (s_t, b_t))
     # For p < 2^255, a + p - b < 2p < 2^256: the value fits 16 limbs exactly
     # (final carry cancels the final borrow), so no top limb is needed.
-    return _sub_p_if_ge(ctx, jnp.moveaxis(outs, 0, -1))
+    (_, _, borrow2), (outs, diffs) = jax.lax.scan(
+        step, (zero, zero, zero), (s_t, b_t, p_t)
+    )
+    raw = jnp.moveaxis(outs, 0, -1)
+    diff = jnp.moveaxis(diffs, 0, -1)
+    return jnp.where((borrow2 == 0)[..., None], diff, raw)
 
 
 def neg(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
@@ -191,6 +288,17 @@ def _schoolbook_cols(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     a = jnp.broadcast_to(a, shape)
     b = jnp.broadcast_to(b, shape)
     t = a[..., :, None] * b[..., None, :]  # (…,16,16) exact in uint32
+    if _is_small(shape):
+        lo_u = t & MASK
+        hi_u = t >> LIMB_BITS
+        width = 2 * NLIMB
+        cols = jnp.concatenate([a, b], axis=-1) * 0
+        for j in range(NLIMB):
+            pad_lo = [(0, 0)] * (lo_u.ndim - 2) + [(j, width - NLIMB - j)]
+            pad_hi = [(0, 0)] * (hi_u.ndim - 2) + [(j + 1, width - NLIMB - j - 1)]
+            cols = cols + jnp.pad(lo_u[..., :, j], pad_lo)
+            cols = cols + jnp.pad(hi_u[..., :, j], pad_hi)
+        return cols
     lo = jnp.moveaxis(t & MASK, -1, 0)  # (16, …, 16) indexed by j
     hi = jnp.moveaxis(t >> LIMB_BITS, -1, 0)
     width = 2 * NLIMB
@@ -219,6 +327,23 @@ def mont_mul(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     width = 2 * NLIMB
     cols = _schoolbook_cols(a, b)
     first_mask = jnp.ones(NLIMB, jnp.uint32).at[0].set(0)
+    if _is_small(cols.shape):
+        carry = cols[..., 0] * 0
+        for i in range(NLIMB):
+            total_i = cols[..., i] + carry
+            low = total_i & MASK
+            u = (low * np_) & MASK
+            up = u[..., None] * p
+            up_lo = up & MASK
+            up_hi = up >> LIMB_BITS
+            carry = (total_i + up_lo[..., 0]) >> LIMB_BITS
+            pad_lo = [(0, 0)] * (up_lo.ndim - 1) + [(i, width - NLIMB - i)]
+            pad_hi = [(0, 0)] * (up_hi.ndim - 1) + [(i + 1, width - NLIMB - i - 1)]
+            cols = cols + jnp.pad(up_lo * first_mask, pad_lo)
+            cols = cols + jnp.pad(up_hi, pad_hi)
+        top = cols[..., NLIMB:]
+        top = jnp.concatenate([(top[..., 0] + carry)[..., None], top[..., 1:]], axis=-1)
+        return _carry_and_mod(ctx, top)
 
     def step(state, i):
         cols, carry = state
@@ -239,8 +364,7 @@ def mont_mul(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     (cols, carry), _ = jax.lax.scan(step, init, jnp.arange(NLIMB, dtype=jnp.int32))
     top = cols[..., NLIMB:]
     top = jnp.concatenate([(top[..., 0] + carry)[..., None], top[..., 1:]], axis=-1)
-    res = _carry_propagate(top, NLIMB)
-    return _sub_p_if_ge(ctx, res)
+    return _carry_and_mod(ctx, top)
 
 
 def mont_sqr(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:

@@ -159,8 +159,16 @@ def keygen(builder: Builder, srs, k: int | None = None):
         for i, (c, r) in enumerate(cycle):
             sigma_cols[c][r] = labels[(i + 1) % len(cycle)]
 
-    # ---- device transforms -------------------------------------------
-    jit_t = jax.jit(lambda col: _to_coeff_and_ext(domain, col))
+    # ---- device transforms (explicit-arg kernels, see kernels.py) -----
+    from .kernels import _jit_canon, _jit_coeff, _jit_ext, _jit_msm
+
+    plan, plan_ext = domain.plan, domain.plan_ext
+    zp = _zeta_powers(domain)
+
+    def jit_t(col):
+        coeff = _jit_coeff(col, plan.bitrev, plan.omega_inv_pows, plan.n_inv)
+        ext = _jit_ext(coeff, zp, plan_ext.bitrev, plan_ext.omega_pows)
+        return coeff, ext
     fixed_raw, fixed_coeff, fixed_ext = {}, {}, {}
     for name in ALL_FIXED:
         dev = jnp.asarray(ctx.to_mont_np(fixed_host[name]))
@@ -206,12 +214,10 @@ def keygen(builder: Builder, srs, k: int | None = None):
     zh_inv_ext = jnp.asarray(ctx.to_mont_np(zh_full))
 
     # ---- commitments --------------------------------------------------
-    jit_commit = jax.jit(lambda pts, s: M.msm(pts, s))
     g1 = srs.g1_powers
 
     def commit_coeff(coeff):
-        can = jax.jit(lambda a: L.mont_to_canonical(ctx, a))(coeff)
-        res = jit_commit(g1, can)
+        res = _jit_msm(g1, _jit_canon(coeff))
         return M.points_from_device(res[None])[0]
 
     fixed_comms = {name: commit_coeff(fixed_coeff[name]) for name in ALL_FIXED}
