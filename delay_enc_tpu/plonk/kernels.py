@@ -75,6 +75,16 @@ def _jit_canon(a):
 
 _jit_msm = jax.jit(M.msm)
 
+# batched commitment: vmap the MSM over a stack of coefficient vectors —
+# the bit-plane kernel is depth-bound, so sharing one launch schedule
+# across b polys costs ~the same wall time as one
+_jit_msm_batch = jax.jit(jax.vmap(M.msm, in_axes=(None, 0)))
+
+
+@jax.jit
+def _jit_canon_batch(a):
+    return L.mont_to_canonical(CTX, a)
+
 
 @jax.jit
 def _jit_compress(tag_raw, adv_raw, theta_m):

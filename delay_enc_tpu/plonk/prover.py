@@ -53,6 +53,8 @@ CTX = L.FR_CTX
 
 from .kernels import (
     _jit_canon,
+    _jit_canon_batch,
+    _jit_msm_batch,
     _jit_coeff,
     _jit_compress,
     _jit_eval_stack,
@@ -106,6 +108,10 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     def commit_coeff(coeff):
         return M.points_from_device(_jit_msm(g1, _jit_canon(coeff))[None])[0]
 
+    def commit_many(coeffs):
+        stacked = _jit_canon_batch(jnp.stack(coeffs))
+        return M.points_from_device(_jit_msm_batch(g1, stacked))
+
     # ---- 1. advice columns -------------------------------------------
     advice_host = []
     for c in range(NUM_ADVICE):
@@ -115,8 +121,8 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
         advice_host.append(col)
     advice_raw = [jnp.asarray(ctx.to_mont_np(col)) for col in advice_host]
     advice_coeff = [to_coeff(a) for a in advice_raw]
-    for c in range(NUM_ADVICE):
-        tr.write_point(commit_coeff(advice_coeff[c]))
+    for pt in commit_many(advice_coeff):
+        tr.write_point(pt)
     _phase("advice commit")
 
     # ---- 2. lookups ---------------------------------------------------
@@ -156,8 +162,11 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
         sp_raw[l] = jnp.asarray(ctx.to_mont_np(s_perm + pad))
         ap_coeff[l] = to_coeff(ap_raw[l])
         sp_coeff[l] = to_coeff(sp_raw[l])
-        tr.write_point(commit_coeff(ap_coeff[l]))
-        tr.write_point(commit_coeff(sp_coeff[l]))
+    lk_pts = commit_many(
+        [c for l in LOOKUPS for c in (ap_coeff[l], sp_coeff[l])]
+    )
+    for pt in lk_pts:
+        tr.write_point(pt)
     _phase("lookup permuted")
 
     # ---- 3. grand products -------------------------------------------
@@ -177,14 +186,14 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     num, den = _jit_perm_fracs(advice_raw, sigma_raw, omega_dev, beta_m, gamma_m, delta_ms)
     z_perm_raw = _jit_grand_product(num, den, active)
     z_perm_coeff = to_coeff(z_perm_raw)
-    tr.write_point(commit_coeff(z_perm_coeff))
 
     z_lookup_coeff = {}
     for l in LOOKUPS:
         numl, denl = _jit_lookup_fracs(a_raw[l], s_raw, ap_raw[l], sp_raw[l], beta_m, gamma_m)
         z_raw = _jit_grand_product(numl, denl, active)
         z_lookup_coeff[l] = to_coeff(z_raw)
-        tr.write_point(commit_coeff(z_lookup_coeff[l]))
+    for pt in commit_many([z_perm_coeff] + [z_lookup_coeff[l] for l in LOOKUPS]):
+        tr.write_point(pt)
     _phase("grand products")
 
     # ---- 4. random poly ----------------------------------------------
@@ -210,8 +219,8 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
         plan_ext.bitrev, plan_ext.omega_inv_pows, plan_ext.n_inv,
     )
     h_pieces = [h_coeff[i * n : (i + 1) * n] for i in range(QUOTIENT_PIECES)]
-    for piece in h_pieces:
-        tr.write_point(commit_coeff(piece))
+    for pt in commit_many(h_pieces):
+        tr.write_point(pt)
     _phase("quotient")
 
     # ---- 6. evaluations ------------------------------------------------
