@@ -27,6 +27,9 @@ from dataclasses import dataclass
 from ..fields.prime import PrimeField
 
 NUM_ADVICE = 5
+# column index used for the public-input (instance) column in copy
+# constraints and the permutation argument
+INSTANCE_COL = NUM_ADVICE
 ADVICE_NAMES = ("a", "b", "c", "d", "e")
 SELECTOR_NAMES = (
     "q_a",
@@ -59,6 +62,7 @@ class Builder:
         self.fixed: dict[str, list[int]] = {name: [] for name in FIXED_NAMES}
         self.copies: list[tuple[tuple[int, int], tuple[int, int]]] = []
         self.lookup_widths: set[int] = set()
+        self.instance: list[int] = []  # public inputs (instance column values)
         self.rows = 0
 
     # ------------------------------------------------------------------
@@ -104,6 +108,15 @@ class Builder:
                 )
             self.fixed[TAG_NAMES[i]].append(w)
         return out
+
+    def expose_public(self, cell: Cell) -> int:
+        """Bind a witness cell to the next public-input slot (halo2 instance
+        column semantics: equality through the permutation argument).
+        Returns the instance row index."""
+        idx = len(self.instance)
+        self.instance.append(cell.value)
+        self.copies.append(((cell.col, cell.row), (INSTANCE_COL, idx)))
+        return idx
 
     def constrain_equal(self, x: Cell, y: Cell) -> None:
         """Copy-constrain two cells (halo2 `constrain_equal`): forces their

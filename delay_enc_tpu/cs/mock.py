@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from .builder import Builder
+from .builder import Builder, INSTANCE_COL
 from .range import build_table
 
 
@@ -50,8 +50,13 @@ def mock_failures(b: Builder) -> list[MockFailure]:
         if v != 0:
             failures.append(MockFailure("gate", r, f"gate identity = {v}"))
 
+    def _cell_val(col, row):
+        if col == INSTANCE_COL:
+            return b.instance[row]
+        return adv[col][row]
+
     for cycle in b.permutation_cycles():
-        vals = {adv[col][row] for col, row in cycle}
+        vals = {_cell_val(col, row) for col, row in cycle}
         if len(vals) > 1:
             failures.append(
                 MockFailure("copy", cycle[0][1], f"cycle {cycle} has values {vals}")

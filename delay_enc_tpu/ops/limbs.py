@@ -31,7 +31,7 @@ from ..fields.bn254 import FQ, FR
 
 NLIMB = 16  # 16 limbs x 16 bits = 256 bits
 LIMB_BITS = 16
-MASK = jnp.uint32(0xFFFF)
+MASK = 0xFFFF  # python int: usable inside Pallas kernels (no captured consts)
 
 
 # ---------------------------------------------------------------- host side
@@ -65,6 +65,7 @@ class FieldCtx:
 
     field: PrimeField
     p_limbs: jnp.ndarray  # (16,) uint32
+    p_host: tuple  # same limbs as python ints (for unrolled/Pallas paths)
     n_prime: int  # -p^-1 mod 2^16
     r_mod_p: jnp.ndarray  # R mod p, canonical limbs (= Montgomery ONE)
     r2_limbs: jnp.ndarray  # R^2 mod p, canonical limbs
@@ -78,22 +79,57 @@ class FieldCtx:
         return FieldCtx(
             field=field,
             p_limbs=jnp.asarray(int_to_limbs_np(p)),
+            p_host=tuple(int(v) for v in int_to_limbs_np(p)),
             n_prime=(-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS),
             r_mod_p=jnp.asarray(int_to_limbs_np(r)),
             r2_limbs=jnp.asarray(int_to_limbs_np(r2)),
             zero=jnp.zeros(NLIMB, jnp.uint32),
         )
 
-    # host conversions -------------------------------------------------
+    # host conversions (native C fast path with pure-Python fallback) ----
+    def _native_consts(self):
+        if not hasattr(self, "_nc"):
+            p = self.field.p
+            p_words = np.frombuffer(p.to_bytes(32, "little"), dtype="<u8").copy()
+            r2 = ((1 << 256) % p) ** 2 % p
+            r2_words = np.frombuffer(r2.to_bytes(32, "little"), dtype="<u8").copy()
+            n0inv = (-pow(p, -1, 1 << 64)) % (1 << 64)
+            object.__setattr__(self, "_nc", (p_words, r2_words, n0inv))
+        return self._nc
+
     def to_mont_np(self, xs) -> np.ndarray:
-        """ints -> Montgomery limb array (host math, exact)."""
-        p, r = self.field.p, (1 << 256) % self.field.p
+        """ints -> Montgomery limb array."""
+        from ..native import get_lib
+
+        lib = get_lib()
+        p = self.field.p
+        if lib is not None:
+            n = len(xs)
+            buf = b"".join(int(x % p).to_bytes(32, "little") for x in xs)
+            inp = np.frombuffer(buf, dtype=np.uint8)
+            out = np.empty((n, NLIMB), dtype=np.uint32)
+            pw, r2w, n0 = self._native_consts()
+            lib.to_mont(
+                inp.ctypes.data, n, pw.ctypes.data, r2w.ctypes.data, n0, out.ctypes.data
+            )
+            return out
         return ints_to_limbs_np([(int(x) << 256) % p for x in xs])
 
     def from_mont_np(self, a) -> list[int]:
+        from ..native import get_lib
+
+        lib = get_lib()
         p = self.field.p
+        arr = np.ascontiguousarray(np.asarray(a, dtype=np.uint32).reshape(-1, NLIMB))
+        if lib is not None:
+            n = arr.shape[0]
+            out = np.empty(n * 32, dtype=np.uint8)
+            pw, _, n0 = self._native_consts()
+            lib.from_mont(arr.ctypes.data, n, pw.ctypes.data, n0, out.ctypes.data)
+            ob = out.tobytes()
+            return [int.from_bytes(ob[32 * i : 32 * i + 32], "little") for i in range(n)]
         rinv = pow((1 << 256) % p, -1, p)
-        return [(v * rinv) % p for v in limbs_to_ints_np(np.asarray(a))]
+        return [(v * rinv) % p for v in limbs_to_ints_np(arr)]
 
     def one_mont(self) -> jnp.ndarray:
         return self.r_mod_p
@@ -113,9 +149,29 @@ FQ_CTX = FieldCtx.make(FQ)
 # `_is_small` picks the variant by static batch size.
 
 _UNROLL_MAX_ELEMS = 64
+_FORCE_UNROLL = False
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def force_unroll():
+    """Select the unrolled limb chains regardless of batch size — used when
+    tracing Pallas kernel bodies, where ops execute on VMEM tiles and the
+    Mosaic compiler handles large unrolled bodies cheaply."""
+    global _FORCE_UNROLL
+    prev = _FORCE_UNROLL
+    _FORCE_UNROLL = True
+    try:
+        yield
+    finally:
+        _FORCE_UNROLL = prev
 
 
 def _is_small(shape) -> bool:
+    if _FORCE_UNROLL:
+        return True
     n = 1
     for d in shape[:-1]:
         n *= int(d)
@@ -126,12 +182,12 @@ def _carry_propagate(cols: jnp.ndarray, n_out: int) -> jnp.ndarray:
     """Sequential carry chain over limb positions."""
     if _is_small(cols.shape):
         outs = []
-        carry = cols[..., 0] * 0
+        carry = cols[..., 0:1] * 0
         for i in range(n_out):
-            v = cols[..., i] + carry
+            v = cols[..., i : i + 1] + carry
             outs.append(v & MASK)
             carry = v >> LIMB_BITS
-        return jnp.stack(outs, axis=-1)
+        return jnp.concatenate(outs, axis=-1)
     cols_t = jnp.moveaxis(cols[..., :n_out], -1, 0)
 
     def step(carry, col):
@@ -147,15 +203,15 @@ def _carry_propagate(cols: jnp.ndarray, n_out: int) -> jnp.ndarray:
 def _sub_p_if_ge(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
     """a (canonical limbs, value < 2p) -> a mod p via branchless borrow chain."""
     if _is_small(a.shape):
-        p = ctx.p_limbs
+        ph = ctx.p_host
         diffs = []
-        borrow = a[..., 0] * 0
+        borrow = a[..., 0:1] * 0
         for i in range(NLIMB):
-            d = a[..., i] - p[i] - borrow
+            d = a[..., i : i + 1] - ph[i] - borrow
             borrow = (d >> 31) & 1
             diffs.append(d & MASK)
-        diff = jnp.stack(diffs, axis=-1)
-        return jnp.where((borrow == 0)[..., None], diff, a)
+        diff = jnp.concatenate(diffs, axis=-1)
+        return jnp.where(borrow == 0, diff, a)
     a_t = jnp.moveaxis(a, -1, 0)
     p_t = ctx.p_limbs.reshape(NLIMB, *([1] * (a.ndim - 1)))
 
@@ -176,20 +232,22 @@ def _carry_and_mod(ctx: FieldCtx, cols: jnp.ndarray) -> jnp.ndarray:
     of two (sequential depth is the scarce resource on-device)."""
     p = ctx.p_limbs
     if _is_small(cols.shape):
+        # 2-D column-sliced form: no 1-D values, no stacks (Mosaic-friendly)
+        ph = ctx.p_host
         limbs, diffs = [], []
-        carry = cols[..., 0] * 0
+        carry = cols[..., 0:1] * 0
         borrow = carry
         for i in range(NLIMB):
-            v = cols[..., i] + carry
+            v = cols[..., i : i + 1] + carry
             limb = v & MASK
             carry = v >> LIMB_BITS
-            d = limb - p[i] - borrow
+            d = limb - ph[i] - borrow
             borrow = (d >> 31) & 1
             limbs.append(limb)
             diffs.append(d & MASK)
-        raw = jnp.stack(limbs, axis=-1)
-        diff = jnp.stack(diffs, axis=-1)
-        return jnp.where((borrow == 0)[..., None], diff, raw)
+        raw = jnp.concatenate(limbs, axis=-1)
+        diff = jnp.concatenate(diffs, axis=-1)
+        return jnp.where(borrow == 0, diff, raw)
     cols_t = jnp.moveaxis(cols[..., :NLIMB], -1, 0)
     p_t = p.reshape(NLIMB, *([1] * (cols.ndim - 1)))
 
@@ -216,24 +274,24 @@ def sub(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     # (a + p) - b via a fused carry/borrow chain; result < 2p, then reduce.
     p = ctx.p_limbs
     if _is_small(a.shape) and _is_small(b.shape):
-        s = a + ctx.p_limbs
+        ph = ctx.p_host
         outs, diffs = [], []
-        carry = a[..., 0] * 0
+        carry = a[..., 0:1] * 0
         borrow = carry
         borrow2 = carry
         for i in range(NLIMB):
-            v = s[..., i] + carry
+            v = a[..., i : i + 1] + ph[i] + carry
             carry = v >> LIMB_BITS
-            d = (v & MASK) - b[..., i] - borrow
+            d = (v & MASK) - b[..., i : i + 1] - borrow
             borrow = (d >> 31) & 1
             r = d & MASK
-            d2 = r - p[i] - borrow2
+            d2 = r - ph[i] - borrow2
             borrow2 = (d2 >> 31) & 1
             outs.append(r)
             diffs.append(d2 & MASK)
-        raw = jnp.stack(outs, axis=-1)
-        diff = jnp.stack(diffs, axis=-1)
-        return jnp.where((borrow2 == 0)[..., None], diff, raw)
+        raw = jnp.concatenate(outs, axis=-1)
+        diff = jnp.concatenate(diffs, axis=-1)
+        return jnp.where(borrow2 == 0, diff, raw)
     s_t = jnp.moveaxis(a + ctx.p_limbs, -1, 0)  # columns < 2^17
     b_t = jnp.moveaxis(b, -1, 0)
     p_t = p.reshape(NLIMB, *([1] * (a.ndim - 1)))
@@ -287,18 +345,22 @@ def _schoolbook_cols(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape)
     b = jnp.broadcast_to(b, shape)
-    t = a[..., :, None] * b[..., None, :]  # (…,16,16) exact in uint32
     if _is_small(shape):
-        lo_u = t & MASK
-        hi_u = t >> LIMB_BITS
+        # column-oriented 2-D form: per b-limb scalar products, padded into
+        # place — no (…,16,16) tensor (3-D relayouts crash Mosaic)
         width = 2 * NLIMB
         cols = jnp.concatenate([a, b], axis=-1) * 0
         for j in range(NLIMB):
-            pad_lo = [(0, 0)] * (lo_u.ndim - 2) + [(j, width - NLIMB - j)]
-            pad_hi = [(0, 0)] * (hi_u.ndim - 2) + [(j + 1, width - NLIMB - j - 1)]
-            cols = cols + jnp.pad(lo_u[..., :, j], pad_lo)
-            cols = cols + jnp.pad(hi_u[..., :, j], pad_hi)
+            pj = a * b[..., j : j + 1]  # (…,16) exact 16x16-bit products
+            lo = pj & MASK
+            hi = pj >> LIMB_BITS
+            pad_lo = [(0, 0)] * (lo.ndim - 1) + [(j, NLIMB - j)]
+            pad_hi = [(0, 0)] * (hi.ndim - 1) + [(j + 1, NLIMB - j - 1)]
+            cols = cols + jnp.pad(lo, pad_lo)
+            cols = cols + jnp.pad(hi, pad_hi)
         return cols
+    t = a[..., :, None] * b[..., None, :]  # (…,16,16) exact in uint32
+
     lo = jnp.moveaxis(t & MASK, -1, 0)  # (16, …, 16) indexed by j
     hi = jnp.moveaxis(t >> LIMB_BITS, -1, 0)
     width = 2 * NLIMB
@@ -323,27 +385,33 @@ def mont_mul(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     carry-of-column-i state (the retired column's upper bits), so no dynamic
     scatters are needed."""
     p = ctx.p_limbs
-    np_ = jnp.uint32(ctx.n_prime)
     width = 2 * NLIMB
     cols = _schoolbook_cols(a, b)
-    first_mask = jnp.ones(NLIMB, jnp.uint32).at[0].set(0)
     if _is_small(cols.shape):
-        carry = cols[..., 0] * 0
+        # unrolled path: only python-int constants (Pallas kernel bodies
+        # must not capture device arrays)
+        ph = ctx.p_host
+        npi = ctx.n_prime
+        carry = cols[..., 0:1] * 0
         for i in range(NLIMB):
-            total_i = cols[..., i] + carry
+            total_i = cols[..., i : i + 1] + carry  # (…,1)
             low = total_i & MASK
-            u = (low * np_) & MASK
-            up = u[..., None] * p
-            up_lo = up & MASK
-            up_hi = up >> LIMB_BITS
-            carry = (total_i + up_lo[..., 0]) >> LIMB_BITS
-            pad_lo = [(0, 0)] * (up_lo.ndim - 1) + [(i, width - NLIMB - i)]
+            u = (low * npi) & MASK
+            # u * p per limb, split into 16-bit halves; all (…,1) columns
+            up = [u * ph[j] for j in range(NLIMB)]
+            carry = (total_i + (up[0] & MASK)) >> LIMB_BITS
+            up_lo = jnp.concatenate([up[j] & MASK for j in range(1, NLIMB)], axis=-1)
+            up_hi = jnp.concatenate([up[j] >> LIMB_BITS for j in range(NLIMB)], axis=-1)
+            pad_lo = [(0, 0)] * (up_lo.ndim - 1) + [(i + 1, width - NLIMB - i)]
             pad_hi = [(0, 0)] * (up_hi.ndim - 1) + [(i + 1, width - NLIMB - i - 1)]
-            cols = cols + jnp.pad(up_lo * first_mask, pad_lo)
+            cols = cols + jnp.pad(up_lo, pad_lo)
             cols = cols + jnp.pad(up_hi, pad_hi)
         top = cols[..., NLIMB:]
-        top = jnp.concatenate([(top[..., 0] + carry)[..., None], top[..., 1:]], axis=-1)
+        top = jnp.concatenate([top[..., 0:1] + carry, top[..., 1:]], axis=-1)
         return _carry_and_mod(ctx, top)
+
+    np_ = jnp.uint32(ctx.n_prime)
+    first_mask = jnp.ones(NLIMB, jnp.uint32).at[0].set(0)
 
     def step(state, i):
         cols, carry = state

@@ -80,7 +80,7 @@ def _mul3(ctx: FieldCtx, x: jnp.ndarray) -> jnp.ndarray:
     return L.add(ctx, L.add(ctx, x, x), x)
 
 
-def complete_add(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+def _complete_add_impl(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     """Branchless complete addition on y^2 = x^3 + 3 (b3 = 9).
     Renes-Costello-Batina Algorithm 7; p, q: (..., 3, 16) Montgomery.
 
@@ -125,6 +125,34 @@ def complete_add(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([X3, fin[0], fin[1]], axis=-2)
 
 
+def _pallas_eligible(shape) -> bool:
+    # Experimental: the fused Pallas path is gated off by default — the
+    # sandbox's PJRT remote-compile helper currently crashes on Mosaic
+    # programs of this size (see ops/field_pallas.py).  Enable with
+    # DELAY_ENC_USE_PALLAS=1 on stacks with a healthy compiler service.
+    import os
+
+    if os.environ.get("DELAY_ENC_USE_PALLAS") != "1":
+        return False
+    if jax.default_backend() not in ("tpu",):
+        return False
+    n = 1
+    for d in shape[:-2]:
+        n *= int(d)
+    return n >= 512
+
+
+def complete_add(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Complete addition; large batches on TPU run as a fused Pallas kernel
+    (the whole 12-mul formula in VMEM: one launch, no giant HBM
+    intermediates), small/CPU batches use the plain jnp implementation."""
+    if _pallas_eligible(jnp.broadcast_shapes(p.shape, q.shape)):
+        from .field_pallas import complete_add_pallas
+
+        return complete_add_pallas(p, q)
+    return _complete_add_impl(p, q)
+
+
 def point_double(p: jnp.ndarray) -> jnp.ndarray:
     return complete_add(p, p)
 
@@ -155,10 +183,29 @@ def scalars_to_limbs(scalars) -> jnp.ndarray:
 
 # ------------------------------------------------------------------- MSM
 
+_TREE_UNROLL_MIN = 128
+
+
 def _tree_reduce(x: jnp.ndarray) -> jnp.ndarray:
-    """Reduce (…, M, 3, 16) along axis -3 with complete adds (M power of 2)."""
-    while x.shape[-3] > 1:
+    """Reduce (…, M, 3, 16) along axis -3 with complete adds (M power of 2).
+
+    The top levels (the bulk of the work) are unrolled; the tail runs as a
+    fixed-shape fori_loop that halves the logical length while padding with
+    identities — the traced graph size stays bounded regardless of M (large
+    unrolled graphs can exceed PJRT compile-service program limits)."""
+    while x.shape[-3] > _TREE_UNROLL_MIN:
         x = complete_add(x[..., 0::2, :, :], x[..., 1::2, :, :])
+    m = x.shape[-3]
+    if m == 1:
+        return x[..., 0, :, :]
+    levels = m.bit_length() - 1
+    ident = jnp.broadcast_to(identity_proj(), x[..., : m // 2, :, :].shape)
+
+    def body(_, v):
+        s = complete_add(v[..., 0::2, :, :], v[..., 1::2, :, :])  # (…, m/2, 3, 16)
+        return jnp.concatenate([s, ident], axis=-3)
+
+    x = jax.lax.fori_loop(0, levels, body, x)
     return x[..., 0, :, :]
 
 

@@ -80,6 +80,48 @@ _jit_msm = jax.jit(M.msm)
 # across b polys costs ~the same wall time as one
 _jit_msm_batch = jax.jit(jax.vmap(M.msm, in_axes=(None, 0)))
 
+# Large MSMs are split into fixed 2^14-point partials: one compiled graph
+# serves every chunk (and the PJRT remote-compile helper rejects the
+# monolithic graph beyond ~2^14 points).
+MSM_CHUNK = 1 << 14
+
+
+@jax.jit
+def _jit_point_tree(stacked):
+    """Reduce (m, ..., 3, 16) partial MSM results with complete adds."""
+    while stacked.shape[0] > 1:
+        half = stacked.shape[0] // 2
+        top = M.complete_add(stacked[:half], stacked[half : 2 * half])
+        if stacked.shape[0] % 2:
+            top = jnp.concatenate([top, stacked[-1:]], axis=0)
+        stacked = top
+    return stacked[0]
+
+
+def msm_chunked(g1, scalars):
+    """(n,3,16) x (n,16) -> (3,16); n a multiple of MSM_CHUNK or small."""
+    n = scalars.shape[0]
+    if n <= MSM_CHUNK:
+        return _jit_msm(g1, scalars)
+    parts = [
+        _jit_msm(g1[off : off + MSM_CHUNK], scalars[off : off + MSM_CHUNK])
+        for off in range(0, n, MSM_CHUNK)
+    ]
+    return _jit_point_tree(jnp.stack(parts))
+
+
+def msm_batch_chunked(g1, stacked_scalars):
+    """(n,3,16) x (b,n,16) -> (b,3,16).
+
+    For n beyond one chunk the batch falls back to per-poly chunked MSMs:
+    the vmapped kernel's intermediate footprint scales with b*chunk and
+    exceeds the compile service's program-memory ceiling."""
+    n = stacked_scalars.shape[1]
+    if n <= MSM_CHUNK:
+        return _jit_msm_batch(g1, stacked_scalars)
+    outs = [msm_chunked(g1, stacked_scalars[i]) for i in range(stacked_scalars.shape[0])]
+    return jnp.stack(outs)
+
 
 @jax.jit
 def _jit_canon_batch(a):
@@ -94,16 +136,17 @@ def _jit_compress(tag_raw, adv_raw, theta_m):
 
 
 @jax.jit
-def _jit_perm_fracs(advs, sigmas, omega_dev, beta_m, gamma_m, delta_ms):
-    num = jnp.broadcast_to(CTX.one_mont(), advs[0].shape)
+def _jit_perm_fracs(perm_cols, sigmas, omega_dev, beta_m, gamma_m, delta_ms):
+    """perm_cols: the 5 advice columns + the instance column (row evals)."""
+    num = jnp.broadcast_to(CTX.one_mont(), perm_cols[0].shape)
     den = num
-    for c in range(NUM_ADVICE):
+    for c in range(len(perm_cols)):
         idterm = L.mont_mul(CTX, L.mont_mul(CTX, beta_m, delta_ms[c]), omega_dev)
-        num = L.mont_mul(CTX, num, L.add(CTX, L.add(CTX, advs[c], idterm), gamma_m))
+        num = L.mont_mul(CTX, num, L.add(CTX, L.add(CTX, perm_cols[c], idterm), gamma_m))
         den = L.mont_mul(
             CTX,
             den,
-            L.add(CTX, L.add(CTX, advs[c], L.mont_mul(CTX, beta_m, sigmas[c])), gamma_m),
+            L.add(CTX, L.add(CTX, perm_cols[c], L.mont_mul(CTX, beta_m, sigmas[c])), gamma_m),
         )
     return num, den
 
@@ -132,9 +175,9 @@ def _rot(ext, steps):
 
 
 @jax.jit
-def _jit_quotient(advice_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext, fe, sigma_ext,
-                  masks, chals, delta_ms, zh_inv_ext, zeta_inv_powers,
-                  bitrev_ext, inv_pows_ext, n_ext_inv):
+def _jit_quotient(advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext,
+                  fe, sigma_ext, masks, chals, delta_ms, zh_inv_ext,
+                  zeta_inv_powers, bitrev_ext, inv_pows_ext, n_ext_inv):
     """masks = (l0_ext, l_last_ext, l_blind_ext, x_ext);
     chals = (theta_m, beta_m, gamma_m, y_m)."""
     l0_ext, l_last_ext, l_blind_ext, x_ext = masks
@@ -162,11 +205,12 @@ def _jit_quotient(advice_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext, fe, sigma_ext
     exprs.append(mul(l_last_ext, L.sub(CTX, mul(z_perm_ext, z_perm_ext), z_perm_ext)))
     left = _rot(z_perm_ext, 1)
     right = z_perm_ext
-    for c in range(NUM_ADVICE):
-        left = mul(left, addf(addf(advice_ext[c], mul(beta_m, sigma_ext[c])), gamma_m))
+    perm_cols_ext = list(advice_ext) + [instance_ext]
+    for c in range(len(perm_cols_ext)):
+        left = mul(left, addf(addf(perm_cols_ext[c], mul(beta_m, sigma_ext[c])), gamma_m))
         right = mul(
             right,
-            addf(addf(advice_ext[c], mul(mul(beta_m, delta_ms[c]), x_ext)), gamma_m),
+            addf(addf(perm_cols_ext[c], mul(mul(beta_m, delta_ms[c]), x_ext)), gamma_m),
         )
     exprs.append(mul(mask, L.sub(CTX, left, right)))
 
@@ -207,20 +251,32 @@ def _tree_sum(x):
 
 @jax.jit
 def _jit_eval_stack(stacked, x_m):
-    """Evaluate every poly in (m, n, 16) at the point x (powers built
-    in-graph, log depth)."""
+    """Evaluate every poly in (m, n, 16) at the point x.  Sequential lax.map
+    over the poly axis keeps per-step intermediates at one poly's footprint
+    (a broadcast (m,n,16,16) product would blow the compile service's
+    memory ceiling)."""
     n = stacked.shape[1]
     pows = P.powers_of(CTX, x_m, n)
-    prods = L.mont_mul(CTX, stacked, pows[None, :, :])
-    return jax.vmap(_tree_sum)(prods)
+
+    def one(cf):
+        return _tree_sum(L.mont_mul(CTX, cf, pows))
+
+    return jax.lax.map(one, stacked)
 
 
 @jax.jit
 def _jit_gwc_witness(stacked, v_m, z_m, zinv_m):
-    """W = (Q - Q(z))/(X - z) with Q = sum_i v^i p_i over the stacked polys."""
+    """W = (Q - Q(z))/(X - z) with Q = sum_i v^i p_i over the stacked polys.
+    The v-weighted combination runs as a lax.map over the poly axis (see
+    _jit_eval_stack for why)."""
     m, n, _ = stacked.shape
     v_pows = P.powers_of(CTX, v_m, m)
-    prods = L.mont_mul(CTX, stacked, v_pows[:, None, :])
+
+    def one(inp):
+        cf, vp = inp
+        return L.mont_mul(CTX, cf, vp[None, :])
+
+    prods = jax.lax.map(one, (stacked, v_pows))
     q = _tree_sum(prods)
     zp = P.powers_of(CTX, z_m, n)
     zinv_p = P.powers_of(CTX, zinv_m, n + 1)

@@ -19,7 +19,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..cs.builder import Builder, FIXED_NAMES, NUM_ADVICE
+from ..cs.builder import Builder, FIXED_NAMES, INSTANCE_COL, NUM_ADVICE
+
+# the permutation argument covers the 5 advice columns plus the instance
+# column (public inputs are bound to witness cells through it)
+NUM_PERM_COLS = NUM_ADVICE + 1
 from ..cs.range import build_table
 from ..fields.bn254 import FR
 from ..ops import limbs as L
@@ -150,9 +154,9 @@ def keygen(builder: Builder, srs, k: int | None = None):
     omega_pows = [1] * n
     for r in range(1, n):
         omega_pows[r] = omega_pows[r - 1] * domain.omega % FR.p
-    delta_powers = [pow(DELTA, c, FR.p) for c in range(NUM_ADVICE)]
-    # sigma starts as the identity labelling
-    sigma_cols = [[delta_powers[c] * omega_pows[r] % FR.p for r in range(n)] for c in range(NUM_ADVICE)]
+    delta_powers = [pow(DELTA, c, FR.p) for c in range(NUM_PERM_COLS)]
+    # sigma starts as the identity labelling (5 advice + instance column)
+    sigma_cols = [[delta_powers[c] * omega_pows[r] % FR.p for r in range(n)] for c in range(NUM_PERM_COLS)]
     for cycle in builder.permutation_cycles():
         # rotate: sigma[cell_i] <- label(cell_{i+1})
         labels = [delta_powers[c] * omega_pows[r] % FR.p for (c, r) in cycle]
@@ -160,7 +164,7 @@ def keygen(builder: Builder, srs, k: int | None = None):
             sigma_cols[c][r] = labels[(i + 1) % len(cycle)]
 
     # ---- device transforms (explicit-arg kernels, see kernels.py) -----
-    from .kernels import _jit_canon, _jit_coeff, _jit_ext, _jit_msm
+    from .kernels import _jit_canon, _jit_coeff, _jit_ext, msm_chunked
 
     plan, plan_ext = domain.plan, domain.plan_ext
     zp = _zeta_powers(domain)
@@ -175,7 +179,7 @@ def keygen(builder: Builder, srs, k: int | None = None):
         coeff, ext = jit_t(dev)
         fixed_raw[name], fixed_coeff[name], fixed_ext[name] = dev, coeff, ext
     sigma_coeff, sigma_ext = [], []
-    for c in range(NUM_ADVICE):
+    for c in range(NUM_PERM_COLS):
         dev = jnp.asarray(ctx.to_mont_np(sigma_cols[c]))
         coeff, ext = jit_t(dev)
         sigma_coeff.append(coeff)
@@ -217,7 +221,7 @@ def keygen(builder: Builder, srs, k: int | None = None):
     g1 = srs.g1_powers
 
     def commit_coeff(coeff):
-        res = _jit_msm(g1, _jit_canon(coeff))
+        res = msm_chunked(g1, _jit_canon(coeff))
         return M.points_from_device(res[None])[0]
 
     fixed_comms = {name: commit_coeff(fixed_coeff[name]) for name in ALL_FIXED}

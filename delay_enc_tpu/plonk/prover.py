@@ -54,7 +54,8 @@ CTX = L.FR_CTX
 from .kernels import (
     _jit_canon,
     _jit_canon_batch,
-    _jit_msm_batch,
+    msm_batch_chunked,
+    msm_chunked,
     _jit_coeff,
     _jit_compress,
     _jit_eval_stack,
@@ -98,6 +99,9 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
 
     tr = Transcript()
     tr.common_bytes(pk.vk.digest)
+    # bind public inputs (instance column values) into the transcript
+    for v in builder.instance:
+        tr.common_scalar(v)
 
     def to_coeff(col):
         return _jit_coeff(col, plan.bitrev, plan.omega_inv_pows, plan.n_inv)
@@ -106,11 +110,11 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
         return _jit_ext(coeff, pk.zeta_powers, plan_ext.bitrev, plan_ext.omega_pows)
 
     def commit_coeff(coeff):
-        return M.points_from_device(_jit_msm(g1, _jit_canon(coeff))[None])[0]
+        return M.points_from_device(msm_chunked(g1, _jit_canon(coeff))[None])[0]
 
     def commit_many(coeffs):
         stacked = _jit_canon_batch(jnp.stack(coeffs))
-        return M.points_from_device(_jit_msm_batch(g1, stacked))
+        return M.points_from_device(msm_batch_chunked(g1, stacked))
 
     # ---- 1. advice columns -------------------------------------------
     advice_host = []
@@ -121,6 +125,10 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
         advice_host.append(col)
     advice_raw = [jnp.asarray(ctx.to_mont_np(col)) for col in advice_host]
     advice_coeff = [to_coeff(a) for a in advice_raw]
+    # instance column: public values padded with zeros, NOT blinded
+    instance_col = list(builder.instance) + [0] * (n - len(builder.instance))
+    instance_raw = jnp.asarray(ctx.to_mont_np(instance_col))
+    instance_coeff = to_coeff(instance_raw)
     for pt in commit_many(advice_coeff):
         tr.write_point(pt)
     _phase("advice commit")
@@ -183,7 +191,9 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     sigma_raw = [
         _jit_evals(s, plan.bitrev, plan.omega_pows) for s in pk.sigma_coeff
     ]
-    num, den = _jit_perm_fracs(advice_raw, sigma_raw, omega_dev, beta_m, gamma_m, delta_ms)
+    num, den = _jit_perm_fracs(
+        advice_raw + [instance_raw], sigma_raw, omega_dev, beta_m, gamma_m, delta_ms
+    )
     z_perm_raw = _jit_grand_product(num, den, active)
     z_perm_coeff = to_coeff(z_perm_raw)
 
@@ -205,19 +215,24 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     y_m = _mont1(y)
 
     advice_ext = [to_ext(c) for c in advice_coeff]
+    instance_ext = to_ext(instance_coeff)
     z_perm_ext = to_ext(z_perm_coeff)
     z_l_ext = {l: to_ext(z_lookup_coeff[l]) for l in LOOKUPS}
     ap_ext = {l: to_ext(ap_coeff[l]) for l in LOOKUPS}
     sp_ext = {l: to_ext(sp_coeff[l]) for l in LOOKUPS}
 
     h_coeff = _jit_quotient(
-        advice_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext,
+        advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext,
         pk.fixed_ext, pk.sigma_ext,
         (pk.l0_ext, pk.l_last_ext, pk.l_blind_ext, pk.x_ext),
         (theta_m, beta_m, gamma_m, y_m),
         delta_ms, pk.zh_inv_ext, pk.zeta_inv_powers,
         plan_ext.bitrev, plan_ext.omega_inv_pows, plan_ext.n_inv,
     )
+    # free the extended-domain arrays — the opening phases don't need them,
+    # and at k=17 they hold ~1.5 GB of HBM
+    del advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext
+    del a_raw, ap_raw, sp_raw, s_raw, num, den, omega_dev, sigma_raw
     h_pieces = [h_coeff[i * n : (i + 1) * n] for i in range(QUOTIENT_PIECES)]
     for pt in commit_many(h_pieces):
         tr.write_point(pt)
@@ -231,7 +246,7 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     opens_x = (
         [("advice", c, advice_coeff[c]) for c in range(NUM_ADVICE)]
         + [("fixed", name, pk.fixed_coeff[name]) for name in ALL_FIXED]
-        + [("sigma", c, pk.sigma_coeff[c]) for c in range(NUM_ADVICE)]
+        + [("sigma", c, pk.sigma_coeff[c]) for c in range(len(pk.sigma_coeff))]
         + [("z_perm", 0, z_perm_coeff)]
         + [(f"ap_{l}", 0, ap_coeff[l]) for l in LOOKUPS]
         + [(f"sp_{l}", 0, sp_coeff[l]) for l in LOOKUPS]

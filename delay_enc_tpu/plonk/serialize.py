@@ -1,0 +1,93 @@
+"""pk/vk artifact serialization (checkpoint/resume parity).
+
+The reference caches SRS params, vk and pk to ./benches/data keyed by
+circuit+K (benches/delay_enc.rs:39-115); this module provides the same
+amortization for the TPU framework: keys round-trip through .npz files so
+repeated bench/server runs skip keygen.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..curves.bn254 import g1_from_bytes, g1_to_bytes
+from .domain import Domain
+from .keygen import ALL_FIXED, ProvingKey, VerifyingKey
+
+
+def save_vk(vk: VerifyingKey, path: str) -> None:
+    np.savez_compressed(
+        path,
+        k=vk.domain.k,
+        digest=np.frombuffer(vk.digest, dtype=np.uint8),
+        fixed=np.stack(
+            [np.frombuffer(g1_to_bytes(vk.fixed_commitments[n]), dtype=np.uint8) for n in ALL_FIXED]
+        ),
+        sigma=np.stack(
+            [np.frombuffer(g1_to_bytes(p), dtype=np.uint8) for p in vk.sigma_commitments]
+        ),
+    )
+
+
+def load_vk(path: str) -> VerifyingKey:
+    z = np.load(path)
+    k = int(z["k"])
+    fixed = {
+        name: g1_from_bytes(z["fixed"][i].tobytes())
+        for i, name in enumerate(ALL_FIXED)
+    }
+    sigma = [g1_from_bytes(row.tobytes()) for row in z["sigma"]]
+    return VerifyingKey(Domain(k), fixed, sigma, z["digest"].tobytes())
+
+
+def save_pk(pk: ProvingKey, path: str) -> None:
+    import jax
+
+    g = lambda a: np.asarray(jax.device_get(a))
+    arrays = {
+        "k": np.int64(pk.vk.domain.k),
+        "l0_ext": g(pk.l0_ext),
+        "l_last_ext": g(pk.l_last_ext),
+        "l_blind_ext": g(pk.l_blind_ext),
+        "x_ext": g(pk.x_ext),
+        "zeta_powers": g(pk.zeta_powers),
+        "zeta_inv_powers": g(pk.zeta_inv_powers),
+        "zh_inv_ext": g(pk.zh_inv_ext),
+        "delta_powers": np.array([str(d) for d in pk.delta_powers]),
+    }
+    for name in ALL_FIXED:
+        arrays[f"fr_{name}"] = g(pk.fixed_raw[name])
+        arrays[f"fc_{name}"] = g(pk.fixed_coeff[name])
+        arrays[f"fe_{name}"] = g(pk.fixed_ext[name])
+    for c in range(len(pk.sigma_coeff)):
+        arrays[f"sc_{c}"] = g(pk.sigma_coeff[c])
+        arrays[f"se_{c}"] = g(pk.sigma_ext[c])
+    np.savez_compressed(path + ".pk.npz", **arrays)
+    save_vk(pk.vk, path + ".vk.npz")
+
+
+def load_pk(path: str) -> ProvingKey:
+    import jax.numpy as jnp
+
+    z = np.load(path + ".pk.npz")
+    vk = load_vk(path + ".vk.npz")
+    a = lambda name: jnp.asarray(z[name])
+    nsig = len(vk.sigma_commitments)
+    return ProvingKey(
+        vk=vk,
+        fixed_raw={n: a(f"fr_{n}") for n in ALL_FIXED},
+        fixed_coeff={n: a(f"fc_{n}") for n in ALL_FIXED},
+        fixed_ext={n: a(f"fe_{n}") for n in ALL_FIXED},
+        sigma_coeff=[a(f"sc_{c}") for c in range(nsig)],
+        sigma_ext=[a(f"se_{c}") for c in range(nsig)],
+        l0_ext=a("l0_ext"),
+        l_last_ext=a("l_last_ext"),
+        l_blind_ext=a("l_blind_ext"),
+        x_ext=a("x_ext"),
+        zeta_powers=a("zeta_powers"),
+        zeta_inv_powers=a("zeta_inv_powers"),
+        zh_inv_ext=a("zh_inv_ext"),
+        delta_powers=[int(d) for d in z["delta_powers"]],
+    )

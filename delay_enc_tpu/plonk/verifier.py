@@ -48,18 +48,20 @@ class _Reader:
         return v
 
 
-def verify_proof(srs, vk: VerifyingKey, proof: bytes) -> bool:
+def verify_proof(srs, vk: VerifyingKey, proof: bytes, instances=None) -> bool:
     try:
-        return _verify(srs, vk, proof)
+        return _verify(srs, vk, proof, instances or [])
     except (ValueError, AssertionError, IndexError):
         return False
 
 
-def _verify(srs, vk: VerifyingKey, proof: bytes) -> bool:
+def _verify(srs, vk: VerifyingKey, proof: bytes, instances) -> bool:
     domain = vk.domain
     n = domain.n
     tr = Transcript()
     tr.common_bytes(vk.digest)
+    for v in instances:
+        tr.common_scalar(v)
     rd = _Reader(proof, tr)
 
     advice_c = [rd.point() for _ in range(NUM_ADVICE)]
@@ -81,7 +83,7 @@ def _verify(srs, vk: VerifyingKey, proof: bytes) -> bool:
     names_x = (
         [("advice", c) for c in range(NUM_ADVICE)]
         + [("fixed", name) for name in ALL_FIXED]
-        + [("sigma", c) for c in range(NUM_ADVICE)]
+        + [("sigma", c) for c in range(len(vk.sigma_commitments))]
         + [("z_perm", 0)]
         + [(f"ap_{l}", 0) for l in LOOKUPS]
         + [(f"sp_{l}", 0) for l in LOOKUPS]
@@ -99,7 +101,11 @@ def _verify(srs, vk: VerifyingKey, proof: bytes) -> bool:
     # ---- 1. quotient identity at x ------------------------------------
     adv = [ev_x[("advice", c)] for c in range(NUM_ADVICE)]
     fx = {name: ev_x[("fixed", name)] for name in ALL_FIXED}
-    sig = [ev_x[("sigma", c)] for c in range(NUM_ADVICE)]
+    sig = [ev_x[("sigma", c)] for c in range(len(vk.sigma_commitments))]
+    # instance polynomial evaluated directly from the public values
+    inst_x = 0
+    for j, v in enumerate(instances):
+        inst_x = (inst_x + v * domain.lagrange_at(j, x)) % P
     zp_x = ev_x[("z_perm", 0)]
     zp_wx = ev_wx[("z_perm", 0)]
     e_wx = ev_wx[("advice", 4)]
@@ -128,9 +134,10 @@ def _verify(srs, vk: VerifyingKey, proof: bytes) -> bool:
     exprs.append(l0 * (1 - zp_x) % P)
     exprs.append(l_last * (zp_x * zp_x - zp_x) % P)
     left, right = zp_wx, zp_x
-    for c in range(NUM_ADVICE):
-        left = left * ((adv[c] + beta * sig[c] + gamma) % P) % P
-        right = right * ((adv[c] + beta * pow(DELTA, c, P) * x + gamma) % P) % P
+    perm_vals = adv + [inst_x]
+    for c in range(len(perm_vals)):
+        left = left * ((perm_vals[c] + beta * sig[c] + gamma) % P) % P
+        right = right * ((perm_vals[c] + beta * pow(DELTA, c, P) * x + gamma) % P) % P
     exprs.append(mask * (left - right) % P)
 
     s_exp = (fx["table_tag"] + theta * fx["table_tag"] * fx["table_value"]) % P
@@ -169,6 +176,7 @@ def _verify(srs, vk: VerifyingKey, proof: bytes) -> bool:
     comm_map = {}
     for c in range(NUM_ADVICE):
         comm_map[("advice", c)] = advice_c[c]
+    for c in range(len(vk.sigma_commitments)):
         comm_map[("sigma", c)] = vk.sigma_commitments[c]
     for name in ALL_FIXED:
         comm_map[("fixed", name)] = vk.fixed_commitments[name]

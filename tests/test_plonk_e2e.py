@@ -71,3 +71,27 @@ def test_different_instances_same_vk(srs):
     b2 = _build_circuit(13, 17)
     proof = create_proof(srs, pk, b2, np.random.default_rng(3))
     assert verify_proof(srs, vk, proof)
+
+
+def test_public_inputs(srs):
+    from delay_enc_tpu.cs import Builder, MainGate
+
+    def build(x0, y0):
+        b = Builder(FR)
+        mg = MainGate(b)
+        x = mg.assign_value(x0)
+        y = mg.assign_value(y0)
+        m = mg.mul(x, y)
+        b.expose_public(m)  # product is a public input
+        return b
+
+    b = build(6, 7)
+    pk, vk = keygen(b, srs)
+    proof = create_proof(srs, pk, b, np.random.default_rng(5))
+    assert verify_proof(srs, vk, proof, instances=[42])
+    # wrong public input must fail
+    assert not verify_proof(srs, vk, proof, instances=[43])
+    # and a different instance proves under the same keys
+    b2 = build(5, 8)
+    proof2 = create_proof(srs, pk, b2, np.random.default_rng(6))
+    assert verify_proof(srs, vk, proof2, instances=[40])
