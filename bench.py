@@ -12,6 +12,7 @@ benches/data, delay_enc.rs:39-54).
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -86,8 +87,26 @@ def main():
     srs = SRS.setup(k, cache_dir="bench_data")
     print(f"# srs setup {time.time()-t0:.1f}s", file=sys.stderr)
     t0 = time.time()
-    pk, vk = keygen(builder, srs, k=k)
-    print(f"# keygen {time.time()-t0:.1f}s", file=sys.stderr)
+    import hashlib
+
+    from delay_enc_tpu.plonk.serialize import load_pk, save_pk
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(f"{args.workload}:{k}:{builder.rows}".encode())
+    for name in ("q_a", "q_mul_ab", "q_constant", "tag_a"):
+        h.update(str(builder.fixed[name][:2048]).encode())
+    key_path = os.path.join("bench_data", f"keys_{args.workload}_{h.hexdigest()}")
+    if os.path.exists(key_path + ".pk.npz"):
+        pk = load_pk(key_path)
+        vk = pk.vk
+        print(f"# keygen (cached) {time.time()-t0:.1f}s", file=sys.stderr)
+    else:
+        pk, vk = keygen(builder, srs, k=k)
+        try:
+            save_pk(pk, key_path)
+        except Exception as e:
+            print(f"# pk cache save failed: {e}", file=sys.stderr)
+        print(f"# keygen {time.time()-t0:.1f}s", file=sys.stderr)
 
     # warm-up (compiles cached after the first proof)
     t0 = time.time()
