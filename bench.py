@@ -1,13 +1,22 @@
-"""Benchmark driver: proves the reference's headline workload and prints one
-JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""Benchmark driver: proves the reference's headline workloads and prints one
+JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 
 Headline: delay_enc full PVDE proof (2048-bit modulus, 5-bit exponent
 window, msg=2) at k=16 — reference baseline 3.7977 s proving time on Apple
 M1 Pro CPU (benches/README.md:57, BASELINE.md).
 
-Usage: python bench.py [--workload delay_enc|mod_pow|pose_enc] [--k K]
-Artifacts (SRS) are cached under ./bench_data (reference caches under
-benches/data, delay_enc.rs:39-54).
+Workloads
+  delay_enc | mod_pow | pose_enc   end-to-end prove+verify (reference parity)
+  batch                            B delay_enc proofs sharing one pk +
+                                   compiled kernels (DP amortization;
+                                   BASELINE config 5)
+  msm | ntt                        standalone kernel sweeps (BASELINE
+                                   config 4): MSM points/s and NTT seconds
+                                   over 2^16..2^20
+
+Usage: python bench.py [--workload W] [--k K] [--config cfg.json]
+Artifacts (SRS, pk/vk) are cached under the config's srs_cache_dir
+(reference caches under benches/data, delay_enc.rs:39-54).
 """
 
 import argparse
@@ -24,16 +33,19 @@ BASELINES = {
     ("delay_enc", 16): 3.7977,
     ("delay_enc", 17): 7.4216,
     ("mod_pow", 16): 3.5665,  # k=16 5-bit T row
+    ("mod_pow", 17): 6.2824,
     ("pose_enc", 11): 0.13967,
+    ("batch", 16): 3.7977,  # per-proof baseline: serial reference prover
 }
 
 
-def build_circuit(workload: str):
+def build_circuit(workload: str, cfg, seed: int = 42):
     from delay_enc_tpu.fields import FR
     from delay_enc_tpu.poseidon import get_spec
 
-    rng = np.random.default_rng(42)
-    spec = get_spec(FR, 5, 4, 8, 57)
+    rng = np.random.default_rng(seed)
+    cc = cfg.circuit
+    spec = get_spec(FR, cc.t, cc.rate, cc.r_f, cc.r_p)
 
     def rand_bits(bits):
         v = 0
@@ -50,9 +62,9 @@ def build_circuit(workload: str):
         return PoseidonEncCircuit(
             spec=spec, num_input=2, message=[0, 0], key=key, expected=expected
         ).build()
-    n = rand_bits(2048)
-    e = int(rng.integers(1, 32))  # 5-bit exponent window (lib.rs:124)
-    x = rand_bits(2048) % n
+    n = rand_bits(cc.bits_len)
+    e = int(rng.integers(1, 1 << cc.exp_limb_bits))  # 5-bit window (lib.rs:124)
+    x = rand_bits(cc.bits_len) % n
     if workload == "mod_pow":
         from delay_enc_tpu.models import RSACircuit
 
@@ -64,49 +76,52 @@ def build_circuit(workload: str):
     ).build()
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--workload", default="delay_enc",
-                    choices=["delay_enc", "mod_pow", "pose_enc"])
-    ap.add_argument("--k", type=int, default=None)
-    ap.add_argument("--repeats", type=int, default=3)
-    args = ap.parse_args()
+def get_keys(workload, builder, srs, k, cache_dir):
+    """pk/vk with artifact caching, keyed by circuit shape + format version."""
+    import hashlib
 
-    import delay_enc_tpu  # noqa: F401
-    from delay_enc_tpu.plonk import SRS, create_proof, keygen, verify_proof
-    from delay_enc_tpu.plonk.keygen import min_k
+    from delay_enc_tpu.plonk import keygen
+    from delay_enc_tpu.plonk.serialize import load_pk, save_pk
 
     t0 = time.time()
-    builder = build_circuit(args.workload)
+    h = hashlib.blake2b(digest_size=16)
+    # v2: halo2-compatible point encodings/transcript (old caches invalid)
+    h.update(f"v2:{workload}:{k}:{builder.rows}".encode())
+    for name in ("q_a", "q_mul_ab", "q_constant", "tag_a"):
+        h.update(str(builder.fixed[name][:2048]).encode())
+    key_path = os.path.join(cache_dir, f"keys_{workload}_{h.hexdigest()}")
+    if os.path.exists(key_path + ".pk.npz"):
+        pk = load_pk(key_path)
+        print(f"# keygen (cached) {time.time()-t0:.1f}s", file=sys.stderr)
+        return pk, pk.vk
+    pk, vk = keygen(builder, srs, k=k)
+    try:
+        save_pk(pk, key_path)
+    except Exception as e:
+        print(f"# pk cache save failed: {e}", file=sys.stderr)
+    print(f"# keygen {time.time()-t0:.1f}s", file=sys.stderr)
+    return pk, vk
+
+
+def bench_prove(args, cfg):
+    from delay_enc_tpu.plonk import SRS, create_proof, verify_proof
+    from delay_enc_tpu.plonk.keygen import min_k
+    from delay_enc_tpu.utils.timers import GLOBAL_METRICS
+
+    t0 = time.time()
+    builder = build_circuit(args.workload, cfg)
     build_s = time.time() - t0
-    k = args.k or max(min_k(builder), {"pose_enc": 11, "mod_pow": 16, "delay_enc": 16}[args.workload])
+    k = args.k or cfg.prover.k or max(
+        min_k(builder), {"pose_enc": 11, "mod_pow": 16, "delay_enc": 16}[args.workload]
+    )
     print(f"# {args.workload}: rows={builder.rows} k={k} build={build_s:.2f}s",
           file=sys.stderr)
 
     t0 = time.time()
-    srs = SRS.setup(k, cache_dir="bench_data")
+    srs = SRS.setup(k, cache_dir=cfg.prover.srs_cache_dir)
     print(f"# srs setup {time.time()-t0:.1f}s", file=sys.stderr)
-    t0 = time.time()
-    import hashlib
-
-    from delay_enc_tpu.plonk.serialize import load_pk, save_pk
-
-    h = hashlib.blake2b(digest_size=16)
-    h.update(f"{args.workload}:{k}:{builder.rows}".encode())
-    for name in ("q_a", "q_mul_ab", "q_constant", "tag_a"):
-        h.update(str(builder.fixed[name][:2048]).encode())
-    key_path = os.path.join("bench_data", f"keys_{args.workload}_{h.hexdigest()}")
-    if os.path.exists(key_path + ".pk.npz"):
-        pk = load_pk(key_path)
-        vk = pk.vk
-        print(f"# keygen (cached) {time.time()-t0:.1f}s", file=sys.stderr)
-    else:
-        pk, vk = keygen(builder, srs, k=k)
-        try:
-            save_pk(pk, key_path)
-        except Exception as e:
-            print(f"# pk cache save failed: {e}", file=sys.stderr)
-        print(f"# keygen {time.time()-t0:.1f}s", file=sys.stderr)
+    pk, vk = get_keys(args.workload, builder, srs, k,
+                      cfg.prover.key_cache_dir or cfg.prover.srs_cache_dir)
 
     # warm-up (compiles cached after the first proof)
     t0 = time.time()
@@ -115,10 +130,12 @@ def main():
 
     times = []
     for i in range(args.repeats):
+        GLOBAL_METRICS.spans.clear()
         t0 = time.time()
         proof = create_proof(srs, pk, builder, np.random.default_rng(i + 1))
         times.append(time.time() - t0)
     prove_s = min(times)
+    phases = {name: round(v, 4) for name, v in GLOBAL_METRICS.spans.items()}
 
     t0 = time.time()
     ok = verify_proof(srs, vk, proof)
@@ -127,12 +144,149 @@ def main():
     print(f"# verify {verify_s:.2f}s ok; proof {len(proof)}B", file=sys.stderr)
 
     baseline = BASELINES.get((args.workload, k))
-    print(json.dumps({
+    return {
         "metric": f"{args.workload}_k{k}_prove_s",
         "value": round(prove_s, 4),
         "unit": "s",
         "vs_baseline": round(baseline / prove_s, 3) if baseline else None,
-    }))
+        "verify_s": round(verify_s, 4),
+        "proof_bytes": len(proof),
+        "phases_s": phases,
+    }
+
+
+def bench_batch(args, cfg):
+    """B delay_enc proofs sharing one pk and warm kernels (DP throughput)."""
+    from delay_enc_tpu.plonk import SRS, create_proof, verify_proof
+    from delay_enc_tpu.plonk.keygen import min_k
+
+    B = args.batch
+    builders = [build_circuit("delay_enc", cfg, seed=100 + i) for i in range(B)]
+    k = args.k or cfg.prover.k or max(min_k(builders[0]), 16)
+    srs = SRS.setup(k, cache_dir=cfg.prover.srs_cache_dir)
+    pk, vk = get_keys("delay_enc", builders[0], srs, k,
+                      cfg.prover.key_cache_dir or cfg.prover.srs_cache_dir)
+    # warm-up on instance 0
+    t0 = time.time()
+    create_proof(srs, pk, builders[0], np.random.default_rng(0))
+    print(f"# prove warmup {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    proofs = [
+        create_proof(srs, pk, b, np.random.default_rng(1 + i))
+        for i, b in enumerate(builders)
+    ]
+    total_s = time.time() - t0
+    assert all(verify_proof(srs, vk, p) for p in proofs), "batch proof failed"
+    baseline = BASELINES.get(("batch", k))
+    per_proof = total_s / B
+    return {
+        "metric": f"batch{B}_delay_enc_k{k}_proofs_per_s",
+        "value": round(B / total_s, 4),
+        "unit": "proofs/s",
+        "vs_baseline": round(baseline / per_proof, 3) if baseline else None,
+        "per_proof_s": round(per_proof, 4),
+    }
+
+
+def bench_msm(args, cfg):
+    """Standalone MSM sweep (BASELINE config 4): points/s over the SRS."""
+    import jax
+
+    from delay_enc_tpu.fields import FR
+    from delay_enc_tpu.ops import msm as M
+    from delay_enc_tpu.plonk import SRS
+
+    k_max = args.k or 20
+    srs = SRS.setup(k_max, cache_dir=cfg.prover.srs_cache_dir)
+    rng = np.random.default_rng(0)
+    sweep = {}
+    for k in range(16, k_max + 1, 2):
+        n = 1 << k
+        sub = srs.truncated(k)
+        tables = sub.pair_tables()
+        scalars = M.scalars_to_limbs([FR.random(rng) for _ in range(n)])[None]
+        # warm-up + compile
+        M.msm_with_tables(tables, scalars)
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            res = M.msm_with_tables(tables, scalars)
+        dt = (time.time() - t0) / reps
+        sweep[f"2^{k}"] = {"s": round(dt, 4), "points_per_s": round(n / dt)}
+        print(f"# msm 2^{k}: {dt:.4f}s = {n/dt:,.0f} pts/s", file=sys.stderr)
+    peak = max(v["points_per_s"] for v in sweep.values())
+    return {
+        "metric": "msm_points_per_s_peak",
+        "value": peak,
+        "unit": "points/s",
+        "vs_baseline": None,
+        "sweep": sweep,
+    }
+
+
+def bench_ntt(args, cfg):
+    """Standalone NTT sweep (BASELINE config 4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from delay_enc_tpu.fields import FR
+    from delay_enc_tpu.ops import limbs as L
+    from delay_enc_tpu.ops.ntt import NTTPlan, stockham
+
+    rng = np.random.default_rng(0)
+    sweep = {}
+    k_max = args.k or 22
+    f = jax.jit(lambda x, tws: stockham(L.FR_CTX, x, tws))
+    for k in range(16, k_max + 1, 2):
+        n = 1 << k
+        plan = NTTPlan.make(L.FR_CTX, k)
+        a = jnp.asarray(L.FR_CTX.to_mont_np([FR.random(rng) for _ in range(n)]))
+        r = f(a, plan.tw)
+        r.block_until_ready()
+        t0 = time.time()
+        reps = 5
+        for _ in range(reps):
+            r = f(a, plan.tw)
+        r.block_until_ready()
+        dt = (time.time() - t0) / reps
+        sweep[f"2^{k}"] = round(dt, 5)
+        print(f"# ntt 2^{k}: {dt*1000:.2f}ms", file=sys.stderr)
+    return {
+        "metric": "ntt_2e20_s",
+        "value": sweep.get("2^20", list(sweep.values())[-1]),
+        "unit": "s",
+        "vs_baseline": None,
+        "sweep": sweep,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", default="delay_enc",
+                    choices=["delay_enc", "mod_pow", "pose_enc", "batch", "msm", "ntt"])
+    ap.add_argument("--k", type=int, default=None)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--config", type=str, default=None,
+                    help="JSON config file (delay_enc_tpu.utils.config.Config)")
+    args = ap.parse_args()
+
+    import delay_enc_tpu  # noqa: F401
+    from delay_enc_tpu.utils.config import Config
+
+    cfg = Config.from_json(args.config) if args.config else Config.from_env()
+    os.makedirs(cfg.prover.srs_cache_dir, exist_ok=True)
+
+    if args.workload in ("delay_enc", "mod_pow", "pose_enc"):
+        out = bench_prove(args, cfg)
+    elif args.workload == "batch":
+        out = bench_batch(args, cfg)
+    elif args.workload == "msm":
+        out = bench_msm(args, cfg)
+    else:
+        out = bench_ntt(args, cfg)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -121,37 +121,46 @@ G1 = _Group("G1", B1, G1_GEN, is_fq2=False)
 G2 = _Group("G2", B2, G2_GEN, is_fq2=True)
 
 
-# ---- serialization (framework-defined format, used consistently by the
-#      transcript on both prover and verifier sides) ----
+# ---- serialization: halo2curves-compatible compressed encodings ----
+#
+# Matches `halo2curves::bn256::G1Affine::{to_bytes,from_bytes}` (the point
+# format the reference's proofs/transcripts use, benches/delay_enc.rs:19-22):
+# 32-byte little-endian x with the parity of y (y odd) stored in the top bit
+# of the last byte; the identity encodes as all zeros.  Decoding rejects
+# non-canonical x (x >= p) and off-curve x, so every point has exactly one
+# valid encoding (no proof malleability through alternate encodings).
 
 def g1_to_bytes(pt) -> bytes:
-    """32-byte LE x with y-parity in bit 254 and infinity flag in bit 255."""
     if pt is None:
-        return (1 << 255).to_bytes(32, "little")
+        return b"\x00" * 32
     x, y = pt
-    v = x | ((y & 1) << 254)
-    return v.to_bytes(32, "little")
+    return (x | ((y & 1) << 255)).to_bytes(32, "little")
 
 
 def g1_from_bytes(b: bytes):
+    if len(b) != 32:
+        raise ValueError("G1 encoding must be 32 bytes")
     v = int.from_bytes(b, "little")
-    if v >> 255:
+    ysign = v >> 255
+    x = v & ((1 << 255) - 1)
+    if x >= P:
+        raise ValueError("non-canonical x coordinate")
+    if x == 0 and not ysign:
         return None
-    parity = (v >> 254) & 1
-    x = v & ((1 << 254) - 1)
-    y2 = (x * x * x + B1) % P
-    y = FQ.sqrt(y2)
+    y = FQ.sqrt((x * x * x + B1) % P)
     if y is None:
         raise ValueError("not on curve")
-    if y & 1 != parity:
+    if (y & 1) != ysign:
         y = P - y
     return (x, y)
 
 
 def g2_to_bytes(pt) -> bytes:
-    """64-byte LE (x.c0, x.c1) with y-parity / infinity flags in x.c1 top bits."""
+    """halo2curves bn256 G2Affine::to_bytes: 64-byte LE (x.c0 || x.c1) with
+    the parity of y (lsb of y.c0) in the top bit of the last byte; identity
+    encodes as all zeros."""
     if pt is None:
-        return b"\x00" * 32 + (1 << 255).to_bytes(32, "little")
+        return b"\x00" * 64
     x, y = pt
-    hi = x.c1 | ((y.c0 & 1) << 254)
+    hi = x.c1 | ((y.c0 & 1) << 255)
     return x.c0.to_bytes(32, "little") + hi.to_bytes(32, "little")

@@ -19,7 +19,7 @@ Construction notes (standard BN optimal ate):
 
 from __future__ import annotations
 
-from ..fields.bn254 import ATE_LOOP_COUNT, FQ, FR, Fq2, Fq6, Fq12
+from ..fields.bn254 import ATE_LOOP_COUNT, BN_U, FQ, FR, Fq2, Fq6, Fq12
 from .bn254 import G1 as G1_GROUP, G2 as G2_GROUP
 
 P = FQ.p
@@ -88,11 +88,52 @@ def miller_loop(pt_g1, pt_g2) -> Fq12:
     return f
 
 
+def _exp_by_neg_u(f: Fq12) -> Fq12:
+    """f^(-u) for elements of the cyclotomic subgroup (where inverse =
+    conjugate).  u is positive for BN254, so exponentiate then conjugate."""
+    return f.pow(BN_U).conjugate()
+
+
 def final_exponentiation(f: Fq12) -> Fq12:
     # easy part: f^((p^6-1)(p^2+1))
     f = f.conjugate() * f.inv()
     f = f.frobenius(2) * f
-    # hard part: f^((p^4-p^2+1)/r)
+    # hard part via the Fuentes-Castaneda et al. u-addition chain (the
+    # standard BN sequence shipped by arkworks/halo2curves) — 3
+    # u-exponentiations (~63 squarings each) + ~13 multiplications instead
+    # of a direct 3046-bit exponentiation.  NOTE: like those libraries,
+    # this computes f^(c*lambda) with the fixed multiple
+    # c = 2u(6u^2+3u+1), lambda = (p^4-p^2+1)/r; since gcd(c, r) = 1 this
+    # changes no pairing product/equality check (tests/test_pairing.py
+    # validates the exponent symbolically and the checks behaviorally).
+    r = f
+    y0 = _exp_by_neg_u(r)
+    y1 = y0.square()
+    y2 = y1.square()
+    y3 = y2 * y1
+    y4 = _exp_by_neg_u(y3)
+    y5 = y4.square()
+    y6 = _exp_by_neg_u(y5)
+    y3 = y3.conjugate()
+    y6 = y6.conjugate()
+    y7 = y6 * y4
+    y8 = y7 * y3
+    y9 = y8 * y1
+    y10 = y8 * y4
+    y11 = y10 * r
+    y12 = y9.frobenius(1)
+    y13 = y12 * y11
+    y8 = y8.frobenius(2)
+    y14 = y8 * y13
+    r = r.conjugate()
+    y15 = (r * y9).frobenius(3)
+    return y15 * y14
+
+
+def final_exponentiation_direct(f: Fq12) -> Fq12:
+    """Reference form (used by tests to validate the addition chain)."""
+    f = f.conjugate() * f.inv()
+    f = f.frobenius(2) * f
     return f.pow(_HARD_EXP)
 
 

@@ -173,9 +173,24 @@ def force_unroll():
         _FORCE_UNROLL = prev
 
 
+def _backend_unrolls() -> bool:
+    """Unrolled limb chains only on TPU: XLA:TPU fuses them into near
+    speed-of-light elementwise kernels, while XLA:CPU takes minutes to
+    compile the wide graphs (the lax.scan forms compile in seconds there
+    and tests/dryruns don't need peak throughput)."""
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _is_small(shape) -> bool:
     if _FORCE_UNROLL:
         return True
+    if not _backend_unrolls():
+        return False
     n = 1
     for d in shape[:-1]:
         n *= int(d)

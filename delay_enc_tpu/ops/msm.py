@@ -3,24 +3,27 @@
 TPU-native replacement for `halo2_proofs`' CPU Pippenger (driven inside
 create_proof / ParamsKZG commitments, reference benches/delay_enc.rs:123).
 
-Why not Pippenger: bucket accumulation is scatter-heavy (sorts + segmented
-reductions), which maps poorly to the TPU's regular vector model.  Instead we
-use a *bit-plane masked-tree* formulation, which is scatter-free and fully
-regular:
+Why not Pippenger: bucket accumulation is scatter/gather-heavy, and on TPU
+random gathers run ~50x below HBM bandwidth.  This design (v2, rebuilt from
+device profiling) is fully gather-free and batches every step:
 
-    MSM = sum_b 2^b * S_b,   S_b = sum_{i : bit b of s_i} P_i
-
- * All 254 bit-plane sums share the same points, so the first two tree
-   levels are precomputed once: pair sums (4 options per pair) and quad
-   combo tables (16 options per quad).  Each plane then just *selects* its
-   quad option by a 4-bit index and tree-reduces with complete additions.
-   Work: ~N/2 + 2.25N shared adds + 254*(N/4) plane adds — ~4x cheaper than
-   the naive 254*N masked tree and with no data-dependent control flow.
- * Point addition is the branchless complete formula for a=0 short
-   Weierstrass curves (Renes-Costello-Batina 2016, Algorithm 7), valid for
-   all inputs (identity, doubling) on prime-order G1 — no selects in the
-   hot loop.
- * Plane chunking bounds peak memory (chunk * N/4 * 192B).
+ 1. **Pair tables, built once per point set** (they depend only on the SRS
+    points, so all ~30 commitments of a proof — and every later proof —
+    share them): for each adjacent pair (P_even, P_odd), the three nonzero
+    subset sums [P_even, P_odd, P_even+P_odd] as (n/2, 3, 16) tensors.
+ 2. **Bit-plane sums via elementwise 4-way select**: for scalar bit-plane b,
+    each pair contributes table[2*bit_even + bit_odd], selected with
+    branchless `where` chains (XLA fuses them into the addition tree — no
+    gather, reads run at full memory bandwidth), then a contiguous-halves
+    tree reduction with branchless complete additions
+    (Renes-Costello-Batina 2016 Alg 7) yields S_b = sum_{bit b set} P_i.
+    Planes are processed in chunks under `lax.map`, batched across
+    commitments.
+ 3. **Host Horner combine**: MSM = sum_b 2^b S_b needs a 253-deep sequential
+    double chain — a handful of microseconds per step in host bignum
+    arithmetic but ~1ms per step as batch-1 device dispatches, so the 254
+    plane sums come back to the host (12KB) and fold in Jacobian
+    coordinates there.
 
 The multi-chip sharded variant lives in `delay_enc_tpu.parallel.msm`.
 """
@@ -32,10 +35,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..curves.bn254 import G1
+from ..fields.bn254 import FQ
 from . import limbs as L
 from .limbs import FQ_CTX, FieldCtx
 
 SCALAR_BITS = 254
+P = FQ.p
 
 
 # ----------------------------------------------------------- point helpers
@@ -65,19 +70,14 @@ def points_from_device(pts) -> list:
     xs = FQ_CTX.from_mont_np(pts[:, 0])
     ys = FQ_CTX.from_mont_np(pts[:, 1])
     zs = FQ_CTX.from_mont_np(pts[:, 2])
-    p = FQ_CTX.field.p
     out = []
     for x, y, z in zip(xs, ys, zs):
         if z == 0:
             out.append(None)
         else:
-            zi = pow(z, -1, p)
-            out.append((x * zi % p, y * zi % p))
+            zi = pow(z, -1, P)
+            out.append((x * zi % P, y * zi % P))
     return out
-
-
-def _mul3(ctx: FieldCtx, x: jnp.ndarray) -> jnp.ndarray:
-    return L.add(ctx, L.add(ctx, x, x), x)
 
 
 def _complete_add_impl(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
@@ -125,31 +125,7 @@ def _complete_add_impl(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([X3, fin[0], fin[1]], axis=-2)
 
 
-def _pallas_eligible(shape) -> bool:
-    # Experimental: the fused Pallas path is gated off by default — the
-    # sandbox's PJRT remote-compile helper currently crashes on Mosaic
-    # programs of this size (see ops/field_pallas.py).  Enable with
-    # DELAY_ENC_USE_PALLAS=1 on stacks with a healthy compiler service.
-    import os
-
-    if os.environ.get("DELAY_ENC_USE_PALLAS") != "1":
-        return False
-    if jax.default_backend() not in ("tpu",):
-        return False
-    n = 1
-    for d in shape[:-2]:
-        n *= int(d)
-    return n >= 512
-
-
 def complete_add(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """Complete addition; large batches on TPU run as a fused Pallas kernel
-    (the whole 12-mul formula in VMEM: one launch, no giant HBM
-    intermediates), small/CPU batches use the plain jnp implementation."""
-    if _pallas_eligible(jnp.broadcast_shapes(p.shape, q.shape)):
-        from .field_pallas import complete_add_pallas
-
-        return complete_add_pallas(p, q)
     return _complete_add_impl(p, q)
 
 
@@ -169,11 +145,13 @@ def point_select(cond, a, b):
 # ------------------------------------------------------------ scalar planes
 
 def scalar_bits_from_limbs(scalar_limbs: jnp.ndarray) -> jnp.ndarray:
-    """(N,16) canonical limbs -> (254, N) uint32 bit planes (LSB first)."""
-    n = scalar_limbs.shape[0]
-    shifts = jnp.arange(L.LIMB_BITS, dtype=jnp.uint32)[None, None, :]
-    bits = (scalar_limbs[:, :, None] >> shifts) & 1  # (N, limb, bitpos)
-    return bits.reshape(n, 256).T[:SCALAR_BITS]
+    """(..., N, 16) canonical limbs -> (..., 254, N) uint32 bit planes
+    (LSB-first)."""
+    *lead, n, _ = scalar_limbs.shape
+    shifts = jnp.arange(L.LIMB_BITS, dtype=jnp.uint32)
+    bits = (scalar_limbs[..., None] >> shifts) & 1  # (..., N, limb, bitpos)
+    bits = bits.reshape(*lead, n, 256)
+    return jnp.moveaxis(bits, -1, -2)[..., :SCALAR_BITS, :]
 
 
 def scalars_to_limbs(scalars) -> jnp.ndarray:
@@ -183,96 +161,195 @@ def scalars_to_limbs(scalars) -> jnp.ndarray:
 
 # ------------------------------------------------------------------- MSM
 
-_TREE_UNROLL_MIN = 128
-
-
-def _tree_reduce(x: jnp.ndarray) -> jnp.ndarray:
-    """Reduce (…, M, 3, 16) along axis -3 with complete adds (M power of 2).
-
-    The top levels (the bulk of the work) are unrolled; the tail runs as a
-    fixed-shape fori_loop that halves the logical length while padding with
-    identities — the traced graph size stays bounded regardless of M (large
-    unrolled graphs can exceed PJRT compile-service program limits)."""
-    while x.shape[-3] > _TREE_UNROLL_MIN:
-        x = complete_add(x[..., 0::2, :, :], x[..., 1::2, :, :])
-    m = x.shape[-3]
-    if m == 1:
-        return x[..., 0, :, :]
-    levels = m.bit_length() - 1
-    ident = jnp.broadcast_to(identity_proj(), x[..., : m // 2, :, :].shape)
-
-    def body(_, v):
-        s = complete_add(v[..., 0::2, :, :], v[..., 1::2, :, :])  # (…, m/2, 3, 16)
-        return jnp.concatenate([s, ident], axis=-3)
-
-    x = jax.lax.fori_loop(0, levels, body, x)
-    return x[..., 0, :, :]
-
-
-def msm(points: jnp.ndarray, scalar_limbs: jnp.ndarray, plane_chunk: int = 64) -> jnp.ndarray:
-    """points (N,3,16) proj Montgomery, scalar_limbs (N,16) canonical.
-    Returns the (3,16) projective Montgomery MSM result."""
+def _pad_pow2(points: jnp.ndarray, scalar_limbs: jnp.ndarray):
     n = points.shape[0]
-    # pad to a power of two, at least 4
-    n_pad = max(4, 1 << (n - 1).bit_length())
+    n_pad = max(2, 1 << (n - 1).bit_length())
     if n_pad != n:
         pad_pts = jnp.broadcast_to(identity_proj(), (n_pad - n, 3, L.NLIMB))
         points = jnp.concatenate([points, pad_pts], axis=0)
+        pad_axes = scalar_limbs.shape[:-2]
         scalar_limbs = jnp.concatenate(
-            [scalar_limbs, jnp.zeros((n_pad - n, L.NLIMB), jnp.uint32)], axis=0
+            [scalar_limbs, jnp.zeros((*pad_axes, n_pad - n, L.NLIMB), jnp.uint32)],
+            axis=-2,
         )
-    bits = scalar_bits_from_limbs(scalar_limbs)  # (254, n_pad)
+    return points, scalar_limbs
 
-    # shared level 0: pair options [inf, P_even, P_odd, P_even+P_odd]
+
+@jax.jit
+def _jit_pair_tables(points: jnp.ndarray):
+    """(n,3,16) projective Montgomery -> (p_even, p_odd, p_sum), each
+    (n/2,3,16).  Depends only on the points: build once per SRS."""
     p_even, p_odd = points[0::2], points[1::2]
-    p_sum = complete_add(p_even, p_odd)
-    inf = jnp.broadcast_to(identity_proj(), p_even.shape)
-    pair_opts = jnp.stack([inf, p_even, p_odd, p_sum], axis=1)  # (n/2, 4, 3, 16)
+    return p_even, p_odd, complete_add(p_even, p_odd)
 
-    # shared level 1: quad combos[selA + 4*selB]
-    opts_a, opts_b = pair_opts[0::2], pair_opts[1::2]  # (n/4, 4, 3, 16)
-    combos = [None] * 16
-    for i in range(4):
-        combos[i] = opts_a[:, i]  # selB = 0 -> identity from B
-    for j in range(1, 4):
-        combos[4 * j] = opts_b[:, j]  # selA = 0
-    nontrivial = [(i, j) for i in range(1, 4) for j in range(1, 4)]
-    added = complete_add(
-        jnp.concatenate([opts_a[:, i] for i, _ in nontrivial], axis=0),
-        jnp.concatenate([opts_b[:, j] for _, j in nontrivial], axis=0),
+
+def _select4(tables, sel):
+    """sel (..., n/2) in {0,1,2,3} -> (..., n/2, 3, 16) branchless select of
+    [inf, P_even, P_odd, P_even+P_odd].  Pure elementwise: XLA fuses the
+    where-chain into the consuming addition tree."""
+    p_even, p_odd, p_sum = tables
+    s = sel[..., None, None]
+    inf = identity_proj()
+    x = jnp.where(s == 1, p_even, inf)
+    x = jnp.where(s == 2, p_odd, x)
+    return jnp.where(s == 3, p_sum, x)
+
+
+PLANE_CHUNK = 16
+
+
+@jax.jit
+def _jit_plane_sums(p_even, p_odd, p_sum, sel_chunks):
+    """sel_chunks (nc, C, n/2) uint8 -> (nc, C, 3, 16) per-plane sums."""
+
+    def chunk(s):
+        x = _select4((p_even, p_odd, p_sum), s)  # (C, n/2, 3, 16)
+        while x.shape[1] > 1:
+            h = x.shape[1] // 2
+            x = complete_add(x[:, :h], x[:, h:])
+        return x[:, 0]
+
+    return jax.lax.map(chunk, sel_chunks)
+
+
+@jax.jit
+def _jit_pair_sel(scalar_limbs):
+    """(..., n, 16) canonical -> (..., 254, n/2) uint8 pair selectors
+    (bit_even + 2*bit_odd per plane)."""
+    bits = scalar_bits_from_limbs(scalar_limbs)  # (..., 254, n)
+    *lead, nb, n = bits.shape
+    b = bits.reshape(*lead, nb, n // 2, 2)
+    return (b[..., 0] + 2 * b[..., 1]).astype(jnp.uint8)
+
+
+def plane_sums_batch(tables, scalar_limbs: jnp.ndarray) -> jnp.ndarray:
+    """tables from `_jit_pair_tables`; scalar_limbs (B, n, 16) canonical.
+    Returns (B, 254, 3, 16) plane sums (device)."""
+    p_even, p_odd, p_sum = tables
+    sel = _jit_pair_sel(scalar_limbs)  # (B, 254, n/2)
+    b = sel.shape[0]
+    flat = sel.reshape(b * SCALAR_BITS, -1)
+    nc = (flat.shape[0] + PLANE_CHUNK - 1) // PLANE_CHUNK
+    pad = nc * PLANE_CHUNK - flat.shape[0]
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad, flat.shape[1]), flat.dtype)], axis=0)
+    sums = _jit_plane_sums(p_even, p_odd, p_sum, flat.reshape(nc, PLANE_CHUNK, -1))
+    return sums.reshape(nc * PLANE_CHUNK, 3, L.NLIMB)[: b * SCALAR_BITS].reshape(
+        b, SCALAR_BITS, 3, L.NLIMB
     )
-    quads = opts_a.shape[0]
-    for k, (i, j) in enumerate(nontrivial):
-        combos[i + 4 * j] = added[k * quads : (k + 1) * quads]
-    combos = jnp.stack(combos, axis=1)  # (n/4, 16, 3, 16)
 
-    # 4-bit selector per quad per plane
-    b = bits.reshape(SCALAR_BITS, quads, 4)
-    sel = b[..., 0] + 2 * b[..., 1] + 4 * b[..., 2] + 8 * b[..., 3]  # (254, n/4)
 
-    # per-plane chunked select + tree reduce; lax.map so the chunk body is
-    # traced/compiled once regardless of the number of chunks
-    quad_idx = jnp.arange(quads)
-    n_chunks = (SCALAR_BITS + plane_chunk - 1) // plane_chunk
-    pad_planes = n_chunks * plane_chunk - SCALAR_BITS
-    sel_padded = jnp.concatenate(
-        [sel, jnp.zeros((pad_planes, quads), sel.dtype)], axis=0
-    ).reshape(n_chunks, plane_chunk, quads)
+# ---- host-side Horner combine (Jacobian; ~us per step vs ~ms on device) --
 
-    def chunk_body(s):
-        selected = combos[quad_idx[None, :], s]  # (C, quads, 3, 16)
-        return _tree_reduce(selected)  # (C, 3, 16)
+def _jac_double(pt):
+    if pt is None:
+        return None
+    x, y, z = pt
+    a = x * x % P
+    b = y * y % P
+    c = b * b % P
+    d = 2 * ((x + b) * (x + b) - a - c) % P
+    e = 3 * a % P
+    f = e * e % P
+    x3 = (f - 2 * d) % P
+    y3 = (e * (d - x3) - 8 * c) % P
+    z3 = 2 * y * z % P
+    return (x3, y3, z3)
 
-    plane_sums = jax.lax.map(chunk_body, sel_padded).reshape(
-        n_chunks * plane_chunk, 3, L.NLIMB
-    )[:SCALAR_BITS]
 
-    # Horner combine from the MSB plane
-    def step(acc, s_b):
-        return complete_add(point_double(acc), s_b), None
+def _jac_add_affine(pt, q):
+    """Jacobian + affine (mixed addition)."""
+    if q is None:
+        return pt
+    x2, y2 = q
+    if pt is None:
+        return (x2, y2, 1)
+    x1, y1, z1 = pt
+    z1z1 = z1 * z1 % P
+    u2 = x2 * z1z1 % P
+    s2 = y2 * z1z1 * z1 % P
+    if u2 == x1 and s2 == y1:
+        return _jac_double(pt)
+    h = (u2 - x1) % P
+    if h == 0:  # u2 == x1, s2 == -y1: P + (-P) = inf
+        return None
+    hh = h * h % P
+    i = 4 * hh % P
+    j = h * i % P
+    r = 2 * (s2 - y1) % P
+    v = x1 * i % P
+    x3 = (r * r - j - 2 * v) % P
+    y3 = (r * (v - x3) - 2 * y1 * j) % P
+    z3 = ((z1 + h) * (z1 + h) - z1z1 - hh) % P
+    return (x3, y3, z3)
 
-    acc, _ = jax.lax.scan(step, plane_sums[SCALAR_BITS - 1], plane_sums[:-1], reverse=True)
-    return acc
+
+def _jac_to_affine(pt):
+    if pt is None:
+        return None
+    x, y, z = pt
+    if z % P == 0:
+        return None
+    zi = pow(z, -1, P)
+    zi2 = zi * zi % P
+    return (x * zi2 % P, y * zi2 % P * zi % P)
+
+
+def horner_host(plane_pts_affine) -> "tuple | None":
+    """plane_pts_affine: LSB-first list of 254 affine points (or None).
+    Returns the affine MSM result sum_b 2^b S_b."""
+    acc = None
+    for pt in reversed(plane_pts_affine):
+        acc = _jac_double(acc)
+        acc = _jac_add_affine(acc, pt)
+    return _jac_to_affine(acc)
+
+
+def proj_batch_to_affine_host(pts_dev) -> list:
+    """(M,3,16) projective Montgomery -> [affine | None], with one shared
+    field inversion (Montgomery batch-inversion on host ints)."""
+    arr = np.asarray(jax.device_get(pts_dev)).reshape(-1, 3, L.NLIMB)
+    xs = FQ_CTX.from_mont_np(arr[:, 0])
+    ys = FQ_CTX.from_mont_np(arr[:, 1])
+    zs = FQ_CTX.from_mont_np(arr[:, 2])
+    # batch-invert the nonzero z's
+    prefix = []
+    acc = 1
+    for z in zs:
+        prefix.append(acc)
+        if z:
+            acc = acc * z % P
+    inv = pow(acc, -1, P)
+    out: list = [None] * len(zs)
+    for i in range(len(zs) - 1, -1, -1):
+        if zs[i]:
+            zi = inv * prefix[i] % P
+            inv = inv * zs[i] % P
+            out[i] = (xs[i] * zi % P, ys[i] * zi % P)
+    return out
+
+
+def msm_with_tables(tables, scalar_limbs: jnp.ndarray):
+    """tables from `_jit_pair_tables` (padded pow2 point count);
+    scalar_limbs (B, n, 16) canonical.  Returns B host affine points."""
+    sums = plane_sums_batch(tables, scalar_limbs)  # (B, 254, 3, 16)
+    b = sums.shape[0]
+    affine = proj_batch_to_affine_host(sums)
+    return [
+        horner_host(affine[i * SCALAR_BITS : (i + 1) * SCALAR_BITS]) for i in range(b)
+    ]
+
+
+def msm(points: jnp.ndarray, scalar_limbs: jnp.ndarray) -> jnp.ndarray:
+    """points (N,3,16) proj Montgomery, scalar_limbs (N,16) canonical.
+    Returns the (3,16) projective Montgomery MSM result (device).
+
+    One-shot API (tests, SRS-free callers): builds the pair tables inline.
+    The prover reuses per-SRS tables via `msm_with_tables`."""
+    points, scalar_limbs = _pad_pow2(points, scalar_limbs)
+    tables = _jit_pair_tables(points)
+    (res,) = msm_with_tables(tables, scalar_limbs[None])
+    return points_to_device([res])[0]
 
 
 # --------------------------------------------- fixed-base batch scalar mul
@@ -289,7 +366,8 @@ def base_table(point) -> jnp.ndarray:
 
 def fixed_base_batch_mul(table: jnp.ndarray, scalar_limbs: jnp.ndarray) -> jnp.ndarray:
     """[s_i * P] for many scalars: scan over bit planes of the shared base
-    table.  Used to build the SRS powers on device."""
+    table.  Used to build the SRS powers on device (batched across the N
+    scalars, so the 254-step scan is wide, not latency-bound)."""
     bits = scalar_bits_from_limbs(scalar_limbs)  # (254, N)
     n = scalar_limbs.shape[0]
     init = jnp.broadcast_to(identity_proj(), (n, 3, L.NLIMB))

@@ -1,14 +1,26 @@
-"""Radix-2 NTT over Fr limb tensors (device).
+"""Radix-2 NTT over Fr limb tensors (device) — Stockham autosort.
 
 TPU-native replacement for `halo2_proofs`' CPU FFT (used inside
 create_proof's quotient construction, reference benches/delay_enc.rs:123).
-Design:
 
- * decimation-in-time with a host-precomputed bit-reversal gather and
-   per-stage twiddle tables (Montgomery form, device-resident);
- * each stage is one batched `mont_mul` + add/sub over (n/2, 16) limb
-   tensors — fully regular VPU work, log2(n) sequential stages;
- * coset (extended-domain) evaluation via a per-index power-of-zeta scale.
+Design (v2 — rebuilt from device profiling):
+
+ * **Stockham autosort DIF**: natural-order input AND output, no
+   bit-reversal permutation and — critically — **no gathers**.  Random-row
+   gathers run ~50x below HBM bandwidth on TPU; every Stockham stage is
+   expressed purely as reshapes, contiguous half-slices, one batched
+   `mont_mul`, and one interleave (stack+reshape), all of which XLA fuses
+   or executes at full memory bandwidth.
+ * Stage t (l groups of m columns, l*m = n/2): with x viewed as (2l, m):
+       y[j, 0, k] = x[j, k] + x[j+l, k]
+       y[j, 1, k] = w^(j*m) * (x[j, k] - x[j+l, k])
+   where w is the primitive n-th root.  Twiddles are host-precomputed per
+   stage (Montgomery form) and passed as jit ARGUMENTS (closure-captured
+   device constants get re-shipped per call by some PJRT transports).
+ * Stages are unrolled in the trace (static shapes per stage); the limb
+   arithmetic uses the unrolled chains, which XLA fuses into near
+   speed-of-light elementwise kernels.
+ * Coset (extended-domain) evaluation via a per-index power-of-zeta scale.
 
 The multi-chip four-step variant lives in `delay_enc_tpu.parallel.ntt`.
 """
@@ -17,7 +29,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,23 +36,14 @@ from . import limbs as L
 from .limbs import FieldCtx
 
 
-def _bit_reverse_indices(n: int) -> np.ndarray:
-    bits = n.bit_length() - 1
-    idx = np.arange(n)
-    rev = np.zeros(n, dtype=np.int32)
-    for b in range(bits):
-        rev |= ((idx >> b) & 1) << (bits - 1 - b)
-    return rev
-
-
 @dataclass(frozen=True)
 class NTTPlan:
     ctx: FieldCtx
     k: int
     omega: int  # primitive 2^k-th root of unity (canonical int)
-    bitrev: jnp.ndarray  # (n,) int32
-    omega_pows: jnp.ndarray  # (n/2,16) mont powers of omega
-    omega_inv_pows: jnp.ndarray
+    # per-stage twiddle tables, Montgomery form; tw[t] has n/2^(t+1) rows
+    tw: tuple
+    tw_inv: tuple
     n_inv: jnp.ndarray  # (16,) mont of 1/n
 
     @property
@@ -55,59 +57,56 @@ class NTTPlan:
         if omega is None:
             omega = f.root_of_unity(k)
         omega_inv = f.inv(omega)
-        ws, wsi, cur, curi = [], [], 1, 1
-        for _ in range(max(1, n // 2)):
-            ws.append(cur)
-            wsi.append(curi)
-            cur = cur * omega % f.p
-            curi = curi * omega_inv % f.p
+
+        def stage_tables(w):
+            # all powers w^0..w^(n/2-1) once, then stride-sampled per stage
+            pows = [1] * max(1, n // 2)
+            for i in range(1, len(pows)):
+                pows[i] = pows[i - 1] * w % f.p
+            mont = ctx.to_mont_np(pows)
+            out = []
+            l, m = n // 2, 1
+            while l >= 1:
+                out.append(jnp.asarray(mont[: l * m : m]))  # w^(j*m), j<l
+                l //= 2
+                m *= 2
+            return tuple(out)
+
         return NTTPlan(
             ctx=ctx,
             k=k,
             omega=omega,
-            bitrev=jnp.asarray(_bit_reverse_indices(n)),
-            omega_pows=jnp.asarray(ctx.to_mont_np(ws)),
-            omega_inv_pows=jnp.asarray(ctx.to_mont_np(wsi)),
+            tw=stage_tables(omega),
+            tw_inv=stage_tables(omega_inv),
             n_inv=jnp.asarray(ctx.to_mont_np([f.inv(n)])[0]),
         )
 
 
-def _core(plan: NTTPlan, a: jnp.ndarray, omega_pows: jnp.ndarray) -> jnp.ndarray:
-    """Iterative DIT with bit-reversed input, expressed as a lax.scan over
-    the k stages with fixed shapes: partner exchange is an XOR gather,
-    twiddles are gathered from the shared power table — one traced stage
-    body, ~20 primitives, regardless of k (XLA compile time is the scarce
-    resource for these integer graphs)."""
-    ctx = plan.ctx
-    n = plan.n
-    k = plan.k
-    a = jnp.take(a, plan.bitrev, axis=0)
-    idx = jnp.arange(n, dtype=jnp.int32)
-
-    def stage(a, s):
-        half = jnp.int32(1) << (s - 1)
-        partner = idx ^ half
-        is_hi = (idx & half) != 0
-        tw_idx = (idx & (half - 1)) << (k - s)
-        w = jnp.take(omega_pows, tw_idx, axis=0)
-        y = jnp.take(a, partner, axis=0)
-        t_in = jnp.where(is_hi[:, None], a, y)
-        t = L.mont_mul(ctx, w, t_in)
-        out = jnp.where(is_hi[:, None], L.sub(ctx, y, t), L.add(ctx, a, t))
-        return out, None
-
-    a, _ = jax.lax.scan(stage, a, jnp.arange(1, k + 1, dtype=jnp.int32))
+def stockham(ctx: FieldCtx, a: jnp.ndarray, tws) -> jnp.ndarray:
+    """Natural-order radix-2 NTT; a: (n, 16), tws: per-stage twiddles."""
+    n = a.shape[0]
+    k = n.bit_length() - 1
+    l, m = n // 2, 1
+    for t in range(k):
+        x3 = a.reshape(2 * l, m, L.NLIMB)
+        c0, c1 = x3[:l], x3[l:]
+        s = L.add(ctx, c0, c1)
+        d = L.mont_mul(ctx, tws[t][:, None, :], L.sub(ctx, c0, c1))
+        a = jnp.stack([s, d], axis=1).reshape(n, L.NLIMB)
+        l //= 2
+        m *= 2
     return a
 
 
 def ntt(plan: NTTPlan, a: jnp.ndarray) -> jnp.ndarray:
-    """Coefficients -> evaluations over the 2^k subgroup (Montgomery limbs)."""
-    return _core(plan, a, plan.omega_pows)
+    """Coefficients -> evaluations over the 2^k subgroup (Montgomery limbs).
+    Output in natural order (A[j] = a(omega^j))."""
+    return stockham(plan.ctx, a, plan.tw)
 
 
 def intt(plan: NTTPlan, a: jnp.ndarray) -> jnp.ndarray:
     """Evaluations -> coefficients."""
-    out = _core(plan, a, plan.omega_inv_pows)
+    out = stockham(plan.ctx, a, plan.tw_inv)
     return L.mont_mul(plan.ctx, out, plan.n_inv[None, :])
 
 

@@ -192,6 +192,6 @@ def sharded_intt(mesh: Mesh, plan: ShardedNTTPlan, a: jnp.ndarray, axis: str = "
 
 
 def local_ntt_inv_unscaled(plan: NTTPlan, a: jnp.ndarray) -> jnp.ndarray:
-    from ..ops.ntt import _core
+    from ..ops.ntt import stockham
 
-    return _core(plan, a, plan.omega_inv_pows)
+    return stockham(plan.ctx, a, plan.tw_inv)

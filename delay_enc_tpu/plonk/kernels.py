@@ -25,47 +25,29 @@ CTX = L.FR_CTX
 # ------------------------------------------------------------ jitted kernels
 # All take tables explicitly; k (python int) selects the cache entry.
 
-def _ntt_with(k: int, a, bitrev, pows):
-    idx = jnp.arange(1 << k, dtype=jnp.int32)
-    a = jnp.take(a, bitrev, axis=0)
-
-    def stage(a, s):
-        half = jnp.int32(1) << (s - 1)
-        partner = idx ^ half
-        is_hi = (idx & half) != 0
-        tw_idx = (idx & (half - 1)) << (k - s)
-        w = jnp.take(pows, tw_idx, axis=0)
-        y = jnp.take(a, partner, axis=0)
-        t_in = jnp.where(is_hi[:, None], a, y)
-        t = L.mont_mul(CTX, w, t_in)
-        out = jnp.where(is_hi[:, None], L.sub(CTX, y, t), L.add(CTX, a, t))
-        return out, None
-
-    a, _ = jax.lax.scan(stage, a, jnp.arange(1, k + 1, dtype=jnp.int32))
-    return a
+from ..ops.ntt import stockham as _stockham
 
 
 @jax.jit
-def _jit_coeff(a, bitrev, inv_pows, n_inv):
-    k = a.shape[0].bit_length() - 1
-    out = _ntt_with(k, a, bitrev, inv_pows)
+def _jit_coeff(a, tws_inv, n_inv):
+    """iNTT: evaluations -> coefficients (Stockham, gather-free)."""
+    out = _stockham(CTX, a, tws_inv)
     return L.mont_mul(CTX, out, n_inv[None, :])
 
 
 @jax.jit
-def _jit_ext(coeff, zeta_powers, bitrev_ext, pows_ext):
+def _jit_ext(coeff, zeta_powers, tws_ext):
+    """coefficients -> evaluations on the extended coset zeta*H_ext."""
     n_ext = zeta_powers.shape[0]
-    k_ext = n_ext.bit_length() - 1
     padded = jnp.concatenate(
         [coeff, jnp.zeros((n_ext - coeff.shape[0], L.NLIMB), jnp.uint32)], axis=0
     )
-    return _ntt_with(k_ext, L.mont_mul(CTX, padded, zeta_powers), bitrev_ext, pows_ext)
+    return _stockham(CTX, L.mont_mul(CTX, padded, zeta_powers), tws_ext)
 
 
 @jax.jit
-def _jit_evals(coeff, bitrev, pows):
-    k = coeff.shape[0].bit_length() - 1
-    return _ntt_with(k, coeff, bitrev, pows)
+def _jit_evals(coeff, tws):
+    return _stockham(CTX, coeff, tws)
 
 
 @jax.jit
@@ -73,54 +55,10 @@ def _jit_canon(a):
     return L.mont_to_canonical(CTX, a)
 
 
-_jit_msm = jax.jit(M.msm)
-
-# batched commitment: vmap the MSM over a stack of coefficient vectors —
-# the bit-plane kernel is depth-bound, so sharing one launch schedule
-# across b polys costs ~the same wall time as one
-_jit_msm_batch = jax.jit(jax.vmap(M.msm, in_axes=(None, 0)))
-
-# Large MSMs are split into fixed 2^14-point partials: one compiled graph
-# serves every chunk (and the PJRT remote-compile helper rejects the
-# monolithic graph beyond ~2^14 points).
-MSM_CHUNK = 1 << 14
-
-
-@jax.jit
-def _jit_point_tree(stacked):
-    """Reduce (m, ..., 3, 16) partial MSM results with complete adds."""
-    while stacked.shape[0] > 1:
-        half = stacked.shape[0] // 2
-        top = M.complete_add(stacked[:half], stacked[half : 2 * half])
-        if stacked.shape[0] % 2:
-            top = jnp.concatenate([top, stacked[-1:]], axis=0)
-        stacked = top
-    return stacked[0]
-
-
-def msm_chunked(g1, scalars):
-    """(n,3,16) x (n,16) -> (3,16); n a multiple of MSM_CHUNK or small."""
-    n = scalars.shape[0]
-    if n <= MSM_CHUNK:
-        return _jit_msm(g1, scalars)
-    parts = [
-        _jit_msm(g1[off : off + MSM_CHUNK], scalars[off : off + MSM_CHUNK])
-        for off in range(0, n, MSM_CHUNK)
-    ]
-    return _jit_point_tree(jnp.stack(parts))
-
-
-def msm_batch_chunked(g1, stacked_scalars):
-    """(n,3,16) x (b,n,16) -> (b,3,16).
-
-    For n beyond one chunk the batch falls back to per-poly chunked MSMs:
-    the vmapped kernel's intermediate footprint scales with b*chunk and
-    exceeds the compile service's program-memory ceiling."""
-    n = stacked_scalars.shape[1]
-    if n <= MSM_CHUNK:
-        return _jit_msm_batch(g1, stacked_scalars)
-    outs = [msm_chunked(g1, stacked_scalars[i]) for i in range(stacked_scalars.shape[0])]
-    return jnp.stack(outs)
+def msm_commit_batch(pair_tables, canon_stack) -> list:
+    """(B, n, 16) canonical coefficient stack -> B host affine commitments,
+    via the shared per-SRS pair tables (ops/msm.py design notes)."""
+    return M.msm_with_tables(pair_tables, canon_stack)
 
 
 @jax.jit
@@ -158,14 +96,37 @@ def _jit_lookup_fracs(a, s, ap, sp, beta_m, gamma_m):
     return num, den
 
 
+# The grand product needs one field inversion (of the total denominator
+# product).  A device Fermat ladder is a 256-step batch-1 chain (~ms-scale
+# dispatch latency); instead the total comes back to the host (32 bytes),
+# is inverted with pow(x, -1, p), and a second kernel finishes.  Blinding
+# rows are overwritten with caller-supplied randomness, matching halo2's
+# permutation/lookup provers (each z is opened at x and omega*x, so
+# deterministic tail rows would weaken zero-knowledge).
+
 @jax.jit
-def _jit_grand_product(num, den, active_mask):
+def _jit_gp_partials(num, den, active_mask):
     one = jnp.broadcast_to(CTX.one_mont(), num.shape)
     num = L.select(active_mask, num, one)
     den = L.select(active_mask, den, one)
-    frac = L.mont_mul(CTX, num, P.batch_inv_log(CTX, den))
+    pre = P.prefix_product(CTX, den)
+    suf = P.suffix_product(CTX, den)
+    return num, pre, suf, pre[-1]
+
+
+@jax.jit
+def _jit_gp_finish(num, pre, suf, total_inv_m, blind_rows):
+    one = jnp.broadcast_to(CTX.one_mont(), num.shape)
+    pre_excl = jnp.concatenate([one[:1], pre[:-1]], axis=0)
+    suf_excl = jnp.concatenate([suf[1:], one[:1]], axis=0)
+    den_inv = L.mont_mul(
+        CTX, L.mont_mul(CTX, pre_excl, suf_excl), total_inv_m[None, :]
+    )
+    frac = L.mont_mul(CTX, num, den_inv)
     pref = P.prefix_product(CTX, frac)
-    return jnp.concatenate([one[:1], pref[:-1]], axis=0)
+    z = jnp.concatenate([one[:1], pref[:-1]], axis=0)
+    keep = z.shape[0] - blind_rows.shape[0]
+    return jnp.concatenate([z[:keep], blind_rows], axis=0)
 
 
 def _rot(ext, steps):
@@ -177,65 +138,102 @@ def _rot(ext, steps):
 @jax.jit
 def _jit_quotient(advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext,
                   fe, sigma_ext, masks, chals, delta_ms, zh_inv_ext,
-                  zeta_inv_powers, bitrev_ext, inv_pows_ext, n_ext_inv):
+                  zeta_inv_powers, y_pows_rev, tws_inv_ext, n_ext_inv):
     """masks = (l0_ext, l_last_ext, l_blind_ext, x_ext);
-    chals = (theta_m, beta_m, gamma_m, y_m)."""
+    chals = (theta_m, beta_m, gamma_m); y_pows_rev[i] = y^(n_exprs-1-i) mont.
+
+    Every independent group of field multiplies is stacked into one batched
+    mont_mul call (the limb chains are wide unrolled graphs; batching cuts
+    both HLO count — compile time — and kernel-materialization traffic).
+    The y-fold is a weighted sum with host-precomputed y powers instead of
+    a 24-step sequential Horner chain: total = sum_i y^(N-1-i) expr_i,
+    identical to the verifier's fold."""
     l0_ext, l_last_ext, l_blind_ext, x_ext = masks
-    theta_m, beta_m, gamma_m, y_m = chals
+    theta_m, beta_m, gamma_m = chals
     one = jnp.broadcast_to(CTX.one_mont(), advice_ext[0].shape)
     mask = L.sub(CTX, one, L.add(CTX, l_last_ext, l_blind_ext))
 
     mul = lambda a, b: L.mont_mul(CTX, a, b)
     addf = lambda a, b: L.add(CTX, a, b)
 
-    exprs = []
     a_e, b_e, c_e, d_e, e_e = advice_ext
-    gate = mul(fe["q_a"], a_e)
-    gate = addf(gate, mul(fe["q_b"], b_e))
-    gate = addf(gate, mul(fe["q_c"], c_e))
-    gate = addf(gate, mul(fe["q_d"], d_e))
-    gate = addf(gate, mul(fe["q_e"], e_e))
-    gate = addf(gate, mul(fe["q_mul_ab"], mul(a_e, b_e)))
-    gate = addf(gate, mul(fe["q_mul_cd"], mul(c_e, d_e)))
-    gate = addf(gate, mul(fe["q_e_next"], _rot(e_e, 1)))
-    gate = addf(gate, fe["q_constant"])
-    exprs.append(gate)
 
-    exprs.append(mul(l0_ext, L.sub(CTX, one, z_perm_ext)))
-    exprs.append(mul(l_last_ext, L.sub(CTX, mul(z_perm_ext, z_perm_ext), z_perm_ext)))
-    left = _rot(z_perm_ext, 1)
-    right = z_perm_ext
-    perm_cols_ext = list(advice_ext) + [instance_ext]
-    for c in range(len(perm_cols_ext)):
-        left = mul(left, addf(addf(perm_cols_ext[c], mul(beta_m, sigma_ext[c])), gamma_m))
-        right = mul(
-            right,
-            addf(addf(perm_cols_ext[c], mul(mul(beta_m, delta_ms[c]), x_ext)), gamma_m),
-        )
-    exprs.append(mul(mask, L.sub(CTX, left, right)))
+    # gate: products [a*b, c*d], then the 8 selector muls in one batch
+    prods = mul(jnp.stack([a_e, c_e]), jnp.stack([b_e, d_e]))
+    gate_terms = mul(
+        jnp.stack([fe["q_a"], fe["q_b"], fe["q_c"], fe["q_d"], fe["q_e"],
+                   fe["q_mul_ab"], fe["q_mul_cd"], fe["q_e_next"]]),
+        jnp.stack([a_e, b_e, c_e, d_e, e_e, prods[0], prods[1], _rot(e_e, 1)]),
+    )
+    gate = addf(_tree_sum(gate_terms), fe["q_constant"])
 
+    # permutation: batched factor construction + pairwise-tree products
+    perm_cols = jnp.stack(list(advice_ext) + [instance_ext])  # (6, n_ext, 16)
+    sig_st = jnp.stack(list(sigma_ext))
+    delta_st = jnp.stack([d[0] for d in delta_ms])[:, None, :]  # (6, 1, 16)
+    bsig = mul(jnp.broadcast_to(beta_m, sig_st.shape), sig_st)
+    bdx = mul(mul(jnp.broadcast_to(beta_m, delta_st.shape), delta_st),
+              jnp.broadcast_to(x_ext, perm_cols.shape))
+    gamma_b6 = jnp.broadcast_to(gamma_m, perm_cols.shape)
+    left_f = addf(addf(perm_cols, bsig), gamma_b6)
+    right_f = addf(addf(perm_cols, bdx), gamma_b6)
+    lprod = _tree_mul(left_f)
+    rprod = _tree_mul(right_f)
+    lr = mul(jnp.stack([_rot(z_perm_ext, 1), z_perm_ext]), jnp.stack([lprod, rprod]))
+    e_perm_a = mul(l0_ext, L.sub(CTX, one, z_perm_ext))
+    e_perm_b = mul(l_last_ext, L.sub(CTX, mul(z_perm_ext, z_perm_ext), z_perm_ext))
+    e_perm_c = mul(mask, L.sub(CTX, lr[0], lr[1]))
+
+    # lookups: all four arguments batched on a leading axis
     s_ext = addf(fe["table_tag"], mul(theta_m, mul(fe["table_tag"], fe["table_value"])))
-    for l in LOOKUPS:
-        tag_e = fe[f"tag_{l}"]
-        a_exp = addf(tag_e, mul(theta_m, mul(tag_e, advice_ext[WIRE_COL[l]])))
-        zl = z_l_ext[l]
-        apl, spl = ap_ext[l], sp_ext[l]
-        exprs.append(mul(l0_ext, L.sub(CTX, one, zl)))
-        exprs.append(mul(l_last_ext, L.sub(CTX, mul(zl, zl), zl)))
-        lhs = mul(_rot(zl, 1), mul(addf(apl, beta_m), addf(spl, gamma_m)))
-        rhs = mul(zl, mul(addf(a_exp, beta_m), addf(s_ext, gamma_m)))
-        exprs.append(mul(mask, L.sub(CTX, lhs, rhs)))
-        exprs.append(mul(l0_ext, L.sub(CTX, apl, spl)))
-        exprs.append(mul(mask, mul(L.sub(CTX, apl, spl), L.sub(CTX, apl, _rot(apl, -1)))))
+    tag_st = jnp.stack([fe[f"tag_{l}"] for l in LOOKUPS])  # (4, n_ext, 16)
+    adv_st = jnp.stack([advice_ext[WIRE_COL[l]] for l in LOOKUPS])
+    zl_st = jnp.stack([z_l_ext[l] for l in LOOKUPS])
+    ap_st = jnp.stack([ap_ext[l] for l in LOOKUPS])
+    sp_st = jnp.stack([sp_ext[l] for l in LOOKUPS])
+    a_exp = addf(tag_st, mul(jnp.broadcast_to(theta_m, tag_st.shape),
+                             mul(tag_st, adv_st)))
+    beta_b = jnp.broadcast_to(beta_m, ap_st.shape)
+    gamma_b = jnp.broadcast_to(gamma_m, ap_st.shape)
+    lhs = mul(jnp.roll(zl_st, -MAX_DEGREE, axis=1),
+              mul(addf(ap_st, beta_b), addf(sp_st, gamma_b)))
+    rhs = mul(zl_st, mul(addf(a_exp, beta_b),
+                         addf(jnp.broadcast_to(s_ext, ap_st.shape), gamma_b)))
+    ap_m_sp = L.sub(CTX, ap_st, sp_st)
+    l0_b = jnp.broadcast_to(l0_ext, zl_st.shape)
+    ll_b = jnp.broadcast_to(l_last_ext, zl_st.shape)
+    mask_b = jnp.broadcast_to(mask, zl_st.shape)
+    lk_a = mul(l0_b, L.sub(CTX, jnp.broadcast_to(one, zl_st.shape), zl_st))
+    lk_b = mul(ll_b, L.sub(CTX, mul(zl_st, zl_st), zl_st))
+    lk_c = mul(mask_b, L.sub(CTX, lhs, rhs))
+    lk_d = mul(l0_b, ap_m_sp)
+    lk_e = mul(mask_b, mul(ap_m_sp, L.sub(CTX, ap_st, jnp.roll(ap_st, MAX_DEGREE, axis=1))))
 
-    total = exprs[0]
-    for e in exprs[1:]:
-        total = addf(mul(total, y_m), e)
+    # y-fold (same expression order as the verifier): gate, 3 perm terms,
+    # then per lookup l: [l0(1-z), l_last(z^2-z), mask(lhs-rhs), l0(ap-sp),
+    # mask(ap-sp)(ap-ap_prev)]
+    exprs = [gate, e_perm_a, e_perm_b, e_perm_c]
+    for i in range(len(LOOKUPS)):
+        exprs.extend([lk_a[i], lk_b[i], lk_c[i], lk_d[i], lk_e[i]])
+    expr_st = jnp.stack(exprs)  # (24, n_ext, 16)
+    weighted = mul(y_pows_rev[:, None, :], expr_st)
+    total = _tree_sum(weighted)
+
     h_ext = mul(total, zh_inv_ext)
-    k_ext = h_ext.shape[0].bit_length() - 1
-    h_coeff = _ntt_with(k_ext, h_ext, bitrev_ext, inv_pows_ext)
+    h_coeff = _stockham(CTX, h_ext, tws_inv_ext)
     h_coeff = L.mont_mul(CTX, h_coeff, n_ext_inv[None, :])
     return L.mont_mul(CTX, h_coeff, zeta_inv_powers)
+
+
+def _tree_mul(x):
+    """Modular product along axis 0 via pairwise tree (batched muls)."""
+    while x.shape[0] > 1:
+        half = x.shape[0] // 2
+        s = L.mont_mul(CTX, x[:half], x[half : 2 * half])
+        if x.shape[0] % 2:
+            s = jnp.concatenate([s, x[-1:]], axis=0)
+        x = s
+    return x[0]
 
 
 def _tree_sum(x):

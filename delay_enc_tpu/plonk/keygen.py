@@ -43,7 +43,10 @@ class VerifyingKey:
     domain: Domain
     fixed_commitments: dict  # name -> affine G1 point
     sigma_commitments: list  # 5 affine G1 points
-    digest: bytes = b""
+    # Fr scalar absorbed as the transcript's first message, mirroring
+    # halo2's `VerifyingKey::transcript_repr` (hash_into in create_proof /
+    # verify_proof).  Computed by transcript_repr() below.
+    transcript_repr: int = 0
 
 
 @dataclass
@@ -101,6 +104,31 @@ def _zeta_inv_powers(domain: Domain) -> jnp.ndarray:
             cur = cur * zi % FR.p
         _zeta_cache[key] = jnp.asarray(L.FR_CTX.to_mont_np(vals))
     return _zeta_cache[key]
+
+
+def transcript_repr(k: int, fixed_comms: dict, sigma_comms: list) -> int:
+    """The vk's transcript representative, using halo2's exact hashing
+    scheme (`keygen_vk`, halo2_proofs plonk/keygen.rs): blake2b-512 with
+    personalization ``Halo2-Verify-Key`` over ``len(s) as u64 LE || s``
+    where s is the pinned verification-key string, reduced into Fr via
+    from_bytes_wide.  The *scheme* is bit-exact to halo2; the pinned string
+    itself describes this framework's constraint system (documented
+    divergence — see plonk/transcript.py)."""
+    import hashlib
+
+    from ..curves.bn254 import g1_to_bytes
+
+    parts = [f"PinnedVerificationKey{{k:{k},gate:maingate5/q_e_next,lookups:4"]
+    for name in ALL_FIXED:
+        parts.append(f",{name}:{g1_to_bytes(fixed_comms[name]).hex()}")
+    for i, pt in enumerate(sigma_comms):
+        parts.append(f",sigma{i}:{g1_to_bytes(pt).hex()}")
+    parts.append("}")
+    s = "".join(parts).encode()
+    h = hashlib.blake2b(digest_size=64, person=b"Halo2-Verify-Key")
+    h.update(len(s).to_bytes(8, "little"))
+    h.update(s)
+    return FR.from_uniform_bytes(h.digest())
 
 
 def min_k(builder: Builder) -> int:
@@ -164,14 +192,14 @@ def keygen(builder: Builder, srs, k: int | None = None):
             sigma_cols[c][r] = labels[(i + 1) % len(cycle)]
 
     # ---- device transforms (explicit-arg kernels, see kernels.py) -----
-    from .kernels import _jit_canon, _jit_coeff, _jit_ext, msm_chunked
+    from .kernels import _jit_canon_batch, _jit_coeff, _jit_ext, msm_commit_batch
 
     plan, plan_ext = domain.plan, domain.plan_ext
     zp = _zeta_powers(domain)
 
     def jit_t(col):
-        coeff = _jit_coeff(col, plan.bitrev, plan.omega_inv_pows, plan.n_inv)
-        ext = _jit_ext(coeff, zp, plan_ext.bitrev, plan_ext.omega_pows)
+        coeff = _jit_coeff(col, plan.tw_inv, plan.n_inv)
+        ext = _jit_ext(coeff, zp, plan_ext.tw)
         return coeff, ext
     fixed_raw, fixed_coeff, fixed_ext = {}, {}, {}
     for name in ALL_FIXED:
@@ -217,27 +245,16 @@ def keygen(builder: Builder, srs, k: int | None = None):
     zh_full = [zh[j % MAX_DEGREE] for j in range(domain.n_ext)]
     zh_inv_ext = jnp.asarray(ctx.to_mont_np(zh_full))
 
-    # ---- commitments --------------------------------------------------
-    g1 = srs.g1_powers
+    # ---- commitments (one batched MSM over the shared pair tables) ----
+    all_coeffs = [fixed_coeff[name] for name in ALL_FIXED] + list(sigma_coeff)
+    all_comms = msm_commit_batch(
+        srs.pair_tables(), _jit_canon_batch(jnp.stack(all_coeffs))
+    )
+    fixed_comms = dict(zip(ALL_FIXED, all_comms[: len(ALL_FIXED)]))
+    sigma_comms = list(all_comms[len(ALL_FIXED) :])
 
-    def commit_coeff(coeff):
-        res = msm_chunked(g1, _jit_canon(coeff))
-        return M.points_from_device(res[None])[0]
-
-    fixed_comms = {name: commit_coeff(fixed_coeff[name]) for name in ALL_FIXED}
-    sigma_comms = [commit_coeff(c) for c in sigma_coeff]
-
-    import hashlib
-
-    h = hashlib.blake2b(digest_size=32)
-    from ..curves.bn254 import g1_to_bytes
-
-    h.update(bytes([k]))
-    for name in ALL_FIXED:
-        h.update(g1_to_bytes(fixed_comms[name]))
-    for pt in sigma_comms:
-        h.update(g1_to_bytes(pt))
-    vk = VerifyingKey(domain, fixed_comms, sigma_comms, h.digest())
+    repr_scalar = transcript_repr(k, fixed_comms, sigma_comms)
+    vk = VerifyingKey(domain, fixed_comms, sigma_comms, repr_scalar)
     pk = ProvingKey(
         vk=vk,
         fixed_raw=fixed_raw,

@@ -32,6 +32,15 @@ class SRS:
         self.g1_powers = g1_powers_dev  # (n,3,16) projective Montgomery
         self.tau_g2 = tau_g2  # [tau] G2 (host)
         self.g2 = g2  # G2 generator
+        # MSM pair tables keyed by truncation k, shared across truncated
+        # views (they depend only on the points — ops/msm.py design notes)
+        self._pair_tables: dict = {}
+
+    def pair_tables(self):
+        """Per-SRS MSM pair tables (built once, reused by every commit)."""
+        if self.k not in self._pair_tables:
+            self._pair_tables[self.k] = M._jit_pair_tables(self.g1_powers)
+        return self._pair_tables[self.k]
 
     @staticmethod
     def setup(k: int, cache_dir: str | None = None, tau: int | None = None) -> "SRS":
@@ -87,9 +96,11 @@ class SRS:
         return SRS(k, g1, tau_g2, G2_GEN)
 
     def truncated(self, k: int) -> "SRS":
-        """A lower-degree view of the same SRS (shared tau)."""
+        """A lower-degree view of the same SRS (shared tau and table cache)."""
         assert k <= self.k
-        return SRS(k, self.g1_powers[: 1 << k], self.tau_g2, self.g2)
+        s = SRS(k, self.g1_powers[: 1 << k], self.tau_g2, self.g2)
+        s._pair_tables = self._pair_tables  # share across views
+        return s
 
 
 def commit(srs: SRS, coeff_limbs) -> jax.Array:

@@ -41,7 +41,6 @@ from ..fields.bn254 import FR
 from ..ops import limbs as L
 from ..ops import msm as M
 from ..ops import poly as P
-from ..ops.ntt import _core as _ntt_core_tables  # noqa: F401 (doc reference)
 from ..ops.ntt import NTTPlan
 from .domain import MAX_DEGREE, QUOTIENT_PIECES
 from .keygen import ALL_FIXED, LOOKUPS, ProvingKey
@@ -52,25 +51,84 @@ CTX = L.FR_CTX
 
 
 from .kernels import (
-    _jit_canon,
     _jit_canon_batch,
-    msm_batch_chunked,
-    msm_chunked,
+    msm_commit_batch,
     _jit_coeff,
     _jit_compress,
     _jit_eval_stack,
     _jit_evals,
     _jit_ext,
-    _jit_grand_product,
+    _jit_gp_finish,
+    _jit_gp_partials,
     _jit_gwc_witness,
     _jit_lookup_fracs,
-    _jit_msm,
     _jit_perm_fracs,
     _jit_quotient,
 )
 
 def _rand_fr(rng) -> int:
     return FR.from_uniform_bytes(bytes(rng.integers(0, 256, 64, dtype="uint8")))
+
+
+def _table_keys(tbl_tags, tbl_vals, usable: int, theta: int):
+    """Lookup permutation support: the range table's rows as u32 pair keys
+    (tag << 16 | value) padded with zeros to `usable` rows, plus the map
+    key -> compressed field value tag + theta*tag*value mod p.
+
+    Pair keys are a faithful proxy for the 254-bit compressed values: every
+    looked-up (tag, value) pair is small (tags are sublimb bit-widths <= 16,
+    values < 2^16 — cs/range.py build_table), equal keys give identical
+    compressed values, and distinct keys give distinct compressed values
+    except with negligible probability over theta (the same injectivity the
+    halo2 lookup compression itself relies on).  Sorting/matching u32 keys
+    in numpy replaces the old per-proof 254-bit Python sort (the dominant
+    host cost of the lookup phase)."""
+    p = FR.p
+    fmap = {0: 0}
+    keys = []
+    for t, v in zip(tbl_tags, tbl_vals):
+        k = (int(t) << 16) | int(v)
+        keys.append(k)
+        if k not in fmap:
+            fmap[k] = (t + theta * t % p * v) % p
+    tkeys = np.asarray(keys, dtype=np.uint32)
+    assert np.all(np.diff(tkeys.astype(np.int64)) >= 0), "table keys must be sorted"
+    return np.concatenate([np.zeros(usable - len(keys), np.uint32), tkeys]), fmap
+
+
+def _permuted_columns(tag_col, adv_col, usable: int, tkeys_padded, fmap, wire):
+    """halo2's lookup permutation (lookup/prover.rs permute_expression_pair):
+    A' = A sorted (grouped by value), S' = matching table value at each
+    first occurrence, remaining table rows filling the rest.  Computed in
+    key space (see _table_keys) with numpy."""
+    rows = len(tag_col)
+    keys = np.zeros(usable, dtype=np.uint32)
+    t = np.fromiter((int(x) for x in tag_col), dtype=np.uint32, count=rows)
+    a = np.fromiter((int(x) & 0xFFFF for x in adv_col[:rows]), dtype=np.uint32, count=rows)
+    keys[:rows] = np.where(t != 0, (t << 16) | a, 0)
+
+    ks = np.sort(keys)
+    is_first = np.empty(usable, dtype=bool)
+    is_first[0] = True
+    is_first[1:] = ks[1:] != ks[:-1]
+    firsts = ks[is_first]
+    pos = np.searchsorted(tkeys_padded, firsts, side="left")
+    ok = (pos < usable) & (tkeys_padded[np.minimum(pos, usable - 1)] == firsts)
+    if not ok.all():
+        bad = firsts[~ok][0]
+        raise ValueError(
+            f"lookup failure: (tag={bad >> 16}, value={bad & 0xFFFF}) not in table (wire {wire})"
+        )
+    used = np.zeros(usable, dtype=bool)
+    used[pos] = True
+    leftovers = tkeys_padded[~used]
+    sp_keys = np.empty(usable, dtype=np.uint32)
+    sp_keys[is_first] = firsts
+    sp_keys[~is_first] = leftovers[: usable - len(firsts)]
+
+    ap_vals = [fmap[k] for k in ks.tolist()]
+    sp_vals = [fmap[k] for k in sp_keys.tolist()]
+    return ap_vals, sp_vals
 
 
 def _mont1(x: int) -> jnp.ndarray:
@@ -81,11 +139,16 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     profile = bool(os.environ.get("DELAY_ENC_PROFILE"))
     _t = [_time.time()]
 
+    from ..utils.timers import GLOBAL_METRICS
+
     def _phase(name):
+        now = _time.time()
+        GLOBAL_METRICS.spans[f"prove/{name}"] = (
+            GLOBAL_METRICS.spans.get(f"prove/{name}", 0.0) + now - _t[0]
+        )
         if profile:
-            now = _time.time()
             print(f"#   phase {name}: {now - _t[0]:.2f}s", flush=True)
-            _t[0] = now
+        _t[0] = now
 
     if rng is None:
         rng = np.random.default_rng()
@@ -98,23 +161,28 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     delta_ms = [_mont1(d) for d in pk.delta_powers]
 
     tr = Transcript()
-    tr.common_bytes(pk.vk.digest)
-    # bind public inputs (instance column values) into the transcript
+    # vk.hash_into(transcript): the first absorption is the vk's
+    # transcript_repr scalar (halo2 plonk/prover.rs)
+    tr.common_scalar(pk.vk.transcript_repr)
+    # bind public inputs (instance column values) into the transcript, as
+    # halo2's create_proof does for non-QUERY_INSTANCE (KZG) schemes
     for v in builder.instance:
         tr.common_scalar(v)
 
     def to_coeff(col):
-        return _jit_coeff(col, plan.bitrev, plan.omega_inv_pows, plan.n_inv)
+        return _jit_coeff(col, plan.tw_inv, plan.n_inv)
 
     def to_ext(coeff):
-        return _jit_ext(coeff, pk.zeta_powers, plan_ext.bitrev, plan_ext.omega_pows)
+        return _jit_ext(coeff, pk.zeta_powers, plan_ext.tw)
 
-    def commit_coeff(coeff):
-        return M.points_from_device(msm_chunked(g1, _jit_canon(coeff))[None])[0]
+    pair_tables = srs.pair_tables()
 
     def commit_many(coeffs):
         stacked = _jit_canon_batch(jnp.stack(coeffs))
-        return M.points_from_device(msm_batch_chunked(g1, stacked))
+        return msm_commit_batch(pair_tables, stacked)
+
+    def commit_coeff(coeff):
+        return commit_many([coeff])[0]
 
     # ---- 1. advice columns -------------------------------------------
     advice_host = []
@@ -134,40 +202,27 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     _phase("advice commit")
 
     # ---- 2. lookups ---------------------------------------------------
-    theta = tr.challenge(b"theta")
+    theta = tr.challenge()
     theta_m = _mont1(theta)
 
     s_raw = _jit_compress(pk.fixed_raw["table_tag"], pk.fixed_raw["table_value"], theta_m)
-    s_host_vals = None
+    # Permuted columns via u32 (tag, value) pair keys — see _permuted_columns.
+    from ..cs.range import build_table
+
+    tbl_tags, tbl_vals = build_table(builder.lookup_widths)
+    tkeys_padded, fmap = _table_keys(tbl_tags, tbl_vals, usable, theta)
     a_raw, ap_raw, sp_raw = {}, {}, {}
     ap_coeff, sp_coeff = {}, {}
-    from collections import Counter
-
     for l in LOOKUPS:
         tag_raw = pk.fixed_raw[f"tag_{l}"]
         a_raw[l] = _jit_compress(tag_raw, advice_raw[WIRE_COL[l]], theta_m)
-        a_vals = ctx.from_mont_np(np.asarray(jax.device_get(a_raw[l]))[:usable])
-        if s_host_vals is None:
-            s_host_vals = ctx.from_mont_np(np.asarray(jax.device_get(s_raw))[:usable])
-        a_sorted = sorted(a_vals)
-        s_free = Counter(s_host_vals)
-        s_perm: list = [None] * usable
-        for i, vv in enumerate(a_sorted):
-            if i == 0 or vv != a_sorted[i - 1]:
-                if s_free[vv] <= 0:
-                    raise ValueError(f"lookup failure: value {vv} not in table (wire {l})")
-                s_free[vv] -= 1
-                s_perm[i] = vv
-        leftovers = []
-        for val, cnt in s_free.items():
-            leftovers.extend([val] * cnt)
-        it = iter(leftovers)
-        for i in range(usable):
-            if s_perm[i] is None:
-                s_perm[i] = next(it)
+        ap_vals, sp_vals = _permuted_columns(
+            builder.fixed[f"tag_{l}"], builder.advice[WIRE_COL[l]],
+            usable, tkeys_padded, fmap, l,
+        )
         pad = [_rand_fr(rng) for _ in range(n - usable)]
-        ap_raw[l] = jnp.asarray(ctx.to_mont_np(a_sorted + pad))
-        sp_raw[l] = jnp.asarray(ctx.to_mont_np(s_perm + pad))
+        ap_raw[l] = jnp.asarray(ctx.to_mont_np(ap_vals + pad))
+        sp_raw[l] = jnp.asarray(ctx.to_mont_np(sp_vals + pad))
         ap_coeff[l] = to_coeff(ap_raw[l])
         sp_coeff[l] = to_coeff(sp_raw[l])
     lk_pts = commit_many(
@@ -178,8 +233,8 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     _phase("lookup permuted")
 
     # ---- 3. grand products -------------------------------------------
-    beta = tr.challenge(b"beta")
-    gamma = tr.challenge(b"gamma")
+    beta = tr.challenge()
+    gamma = tr.challenge()
     beta_m, gamma_m = _mont1(beta), _mont1(gamma)
     active = jnp.asarray(np.arange(n) < usable)
 
@@ -189,19 +244,28 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
         cur = cur * domain.omega % FR.p
     omega_dev = jnp.asarray(ctx.to_mont_np(omega_col))
     sigma_raw = [
-        _jit_evals(s, plan.bitrev, plan.omega_pows) for s in pk.sigma_coeff
+        _jit_evals(s, plan.tw) for s in pk.sigma_coeff
     ]
+    def grand_product(num, den):
+        """Split kernel: partial products on device, the single total
+        inversion on host, random blinding rows appended (kernels.py)."""
+        num_a, pre, suf, total = _jit_gp_partials(num, den, active)
+        total_int = ctx.from_mont_np(np.asarray(jax.device_get(total))[None])[0]
+        if total_int == 0:
+            raise ValueError("grand product denominator vanished")
+        total_inv_m = jnp.asarray(ctx.to_mont_np([pow(total_int, -1, FR.p)]))[0]
+        blind = jnp.asarray(ctx.to_mont_np([_rand_fr(rng) for _ in range(n - usable - 1)]))
+        return _jit_gp_finish(num_a, pre, suf, total_inv_m, blind)
+
     num, den = _jit_perm_fracs(
         advice_raw + [instance_raw], sigma_raw, omega_dev, beta_m, gamma_m, delta_ms
     )
-    z_perm_raw = _jit_grand_product(num, den, active)
-    z_perm_coeff = to_coeff(z_perm_raw)
+    z_perm_coeff = to_coeff(grand_product(num, den))
 
     z_lookup_coeff = {}
     for l in LOOKUPS:
         numl, denl = _jit_lookup_fracs(a_raw[l], s_raw, ap_raw[l], sp_raw[l], beta_m, gamma_m)
-        z_raw = _jit_grand_product(numl, denl, active)
-        z_lookup_coeff[l] = to_coeff(z_raw)
+        z_lookup_coeff[l] = to_coeff(grand_product(numl, denl))
     for pt in commit_many([z_perm_coeff] + [z_lookup_coeff[l] for l in LOOKUPS]):
         tr.write_point(pt)
     _phase("grand products")
@@ -211,8 +275,11 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     tr.write_point(commit_coeff(random_coeff))
 
     # ---- 5. quotient ---------------------------------------------------
-    y = tr.challenge(b"y")
-    y_m = _mont1(y)
+    y = tr.challenge()
+    n_exprs = 4 + 5 * len(LOOKUPS)
+    y_pows_rev = jnp.asarray(
+        ctx.to_mont_np([pow(y, n_exprs - 1 - i, FR.p) for i in range(n_exprs)])
+    )
 
     advice_ext = [to_ext(c) for c in advice_coeff]
     instance_ext = to_ext(instance_coeff)
@@ -225,9 +292,9 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
         advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext,
         pk.fixed_ext, pk.sigma_ext,
         (pk.l0_ext, pk.l_last_ext, pk.l_blind_ext, pk.x_ext),
-        (theta_m, beta_m, gamma_m, y_m),
-        delta_ms, pk.zh_inv_ext, pk.zeta_inv_powers,
-        plan_ext.bitrev, plan_ext.omega_inv_pows, plan_ext.n_inv,
+        (theta_m, beta_m, gamma_m),
+        delta_ms, pk.zh_inv_ext, pk.zeta_inv_powers, y_pows_rev,
+        plan_ext.tw_inv, plan_ext.n_inv,
     )
     # free the extended-domain arrays — the opening phases don't need them,
     # and at k=17 they hold ~1.5 GB of HBM
@@ -239,7 +306,7 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     _phase("quotient")
 
     # ---- 6. evaluations ------------------------------------------------
-    x = tr.challenge(b"x")
+    x = tr.challenge()
     x_w = x * domain.omega % FR.p
     x_winv = x * domain.omega_inv % FR.p
 
@@ -275,7 +342,7 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     _phase("evals")
 
     # ---- 7. GWC multiopen ---------------------------------------------
-    v = tr.challenge(b"v")
+    v = tr.challenge()
     v_m0 = jnp.asarray(ctx.to_mont_np([v]))[0]
     for key, point in (("x", x), ("wx", x_w), ("winvx", x_winv)):
         z_m = jnp.asarray(ctx.to_mont_np([point]))[0]

@@ -21,7 +21,6 @@ def save_vk(vk: VerifyingKey, path: str) -> None:
     np.savez_compressed(
         path,
         k=vk.domain.k,
-        digest=np.frombuffer(vk.digest, dtype=np.uint8),
         fixed=np.stack(
             [np.frombuffer(g1_to_bytes(vk.fixed_commitments[n]), dtype=np.uint8) for n in ALL_FIXED]
         ),
@@ -32,6 +31,8 @@ def save_vk(vk: VerifyingKey, path: str) -> None:
 
 
 def load_vk(path: str) -> VerifyingKey:
+    from .keygen import transcript_repr
+
     z = np.load(path)
     k = int(z["k"])
     fixed = {
@@ -39,7 +40,9 @@ def load_vk(path: str) -> VerifyingKey:
         for i, name in enumerate(ALL_FIXED)
     }
     sigma = [g1_from_bytes(row.tobytes()) for row in z["sigma"]]
-    return VerifyingKey(Domain(k), fixed, sigma, z["digest"].tobytes())
+    # recompute (never trust a stored digest): a tampered vk file must not
+    # be able to bind an inconsistent digest into the Fiat-Shamir transcript
+    return VerifyingKey(Domain(k), fixed, sigma, transcript_repr(k, fixed, sigma))
 
 
 def save_pk(pk: ProvingKey, path: str) -> None:

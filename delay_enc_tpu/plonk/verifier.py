@@ -59,25 +59,26 @@ def _verify(srs, vk: VerifyingKey, proof: bytes, instances) -> bool:
     domain = vk.domain
     n = domain.n
     tr = Transcript()
-    tr.common_bytes(vk.digest)
+    # vk.hash_into(transcript), mirroring the prover
+    tr.common_scalar(vk.transcript_repr)
     for v in instances:
         tr.common_scalar(v)
     rd = _Reader(proof, tr)
 
     advice_c = [rd.point() for _ in range(NUM_ADVICE)]
-    theta = tr.challenge(b"theta")
+    theta = tr.challenge()
     ap_c, sp_c = {}, {}
     for l in LOOKUPS:
         ap_c[l] = rd.point()
         sp_c[l] = rd.point()
-    beta = tr.challenge(b"beta")
-    gamma = tr.challenge(b"gamma")
+    beta = tr.challenge()
+    gamma = tr.challenge()
     z_perm_c = rd.point()
     z_l_c = {l: rd.point() for l in LOOKUPS}
     random_c = rd.point()
-    y = tr.challenge(b"y")
+    y = tr.challenge()
     h_c = [rd.point() for _ in range(QUOTIENT_PIECES)]
-    x = tr.challenge(b"x")
+    x = tr.challenge()
 
     # ---- read evals (same order as prover's opens lists) --------------
     names_x = (
@@ -169,9 +170,13 @@ def _verify(srs, vk: VerifyingKey, proof: bytes, instances) -> bool:
         return False
 
     # ---- 2. GWC pairing check -----------------------------------------
-    v = tr.challenge(b"v")
+    v = tr.challenge()
     w_points = [rd.point() for _ in range(3)]
-    u = tr.challenge(b"u")
+    u = tr.challenge()
+    # the proof stream must be fully consumed: trailing bytes would make
+    # proofs malleable (distinct byte strings verifying for one statement)
+    if rd.off != len(proof):
+        return False
 
     comm_map = {}
     for c in range(NUM_ADVICE):

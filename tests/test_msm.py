@@ -42,7 +42,7 @@ def test_msm_small_matches_host():
     n = 13  # also exercises padding
     pts = _host_points(n, 3)
     scalars = [FR.random(rng) for _ in range(n)]
-    result = jax.jit(M.msm)(M.points_to_device(pts), M.scalars_to_limbs(scalars))
+    result = M.msm(M.points_to_device(pts), M.scalars_to_limbs(scalars))
     got = M.points_from_device(result[None])[0]
     assert got == G1.msm(scalars, pts)
 
@@ -50,7 +50,7 @@ def test_msm_small_matches_host():
 def test_msm_with_zero_scalars_and_identity_points():
     pts = _host_points(4, 4) + [None]
     scalars = [5, 0, 7, FR.p - 1, 3]
-    result = jax.jit(M.msm)(M.points_to_device(pts), M.scalars_to_limbs(scalars))
+    result = M.msm(M.points_to_device(pts), M.scalars_to_limbs(scalars))
     got = M.points_from_device(result[None])[0]
     assert got == G1.msm(scalars, pts)
 

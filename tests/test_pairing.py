@@ -43,3 +43,50 @@ def test_pairing_check_kzg_shape():
         (G1.neg(G1_GEN), G2.mul(G2_GEN, a)),
     ]
     assert not pairing_check(bad)
+
+
+def test_final_exponentiation_chain_exponent():
+    """The u-addition chain computes f^(c*lambda) with the standard
+    Fuentes-Castaneda multiple c = 2u(6u^2+3u+1) — validated symbolically
+    by replaying the chain on integer exponents (conjugate = negate,
+    frobenius(k) = *p^k)."""
+    from delay_enc_tpu.fields.bn254 import BN_U as u, FQ_MOD as p, FR_MOD as r
+
+    lam = (p**4 - p**2 + 1) // r
+    R = 1
+    y0 = -(R * u)
+    y1 = 2 * y0
+    y2 = 2 * y1
+    y3 = y2 + y1
+    y4 = -(y3 * u)
+    y5 = 2 * y4
+    y6 = -(-(y5 * u))
+    y3 = -y3
+    y7 = y6 + y4
+    y8 = y7 + y3
+    y9 = y8 + y1
+    y10 = y8 + y4
+    y11 = y10 + R
+    y13 = y9 * p + y11
+    y14 = y8 * p * p + y13
+    y15 = (-R + y9) * p**3
+    e = y15 + y14
+    assert e == 2 * u * (6 * u * u + 3 * u + 1) * lam
+
+
+def test_fast_vs_direct_final_exponentiation():
+    """fast = direct^c for the fixed multiple c (both on a Miller-loop
+    output), and both agree on is_one for pairing products."""
+    from delay_enc_tpu.curves.pairing import (
+        final_exponentiation,
+        final_exponentiation_direct,
+        miller_loop,
+    )
+    from delay_enc_tpu.fields.bn254 import BN_U as u
+
+    f = miller_loop(G1.mul(G1_GEN, 7), G2.mul(G2_GEN, 11))
+    fast = final_exponentiation(f)
+    direct = final_exponentiation_direct(f)
+    c = 2 * u * (6 * u * u + 3 * u + 1)
+    assert fast == direct.pow(c)
+    assert fast.is_one() == direct.is_one() == False  # noqa: E712
