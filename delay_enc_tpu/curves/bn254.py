@@ -101,6 +101,8 @@ class _Group:
 
     def mul(self, a, k: int):
         k %= FR.p
+        if not self.is_fq2:
+            return _g1_mul_jacobian(a, k)
         r, base = None, a
         while k:
             if k & 1:
@@ -115,6 +117,95 @@ class _Group:
         for s, pt in zip(scalars, points):
             acc = self.add(acc, self.mul(pt, s))
         return acc
+
+    def multi_scalar_mul(self, scalars, points):
+        """Fast host MSM for the verifier (G1 only): shared-doubling
+        (Straus) in Jacobian coordinates — one doubling chain for all
+        terms, one final inversion."""
+        assert not self.is_fq2, "fast path is G1-only"
+        pairs = [(s % FR.p, pt) for s, pt in zip(scalars, points)
+                 if pt is not None and s % FR.p]
+        if not pairs:
+            return None
+        top = max(s.bit_length() for s, _ in pairs)
+        acc = None
+        for bit in range(top - 1, -1, -1):
+            acc = _jac_double(acc)
+            for s, pt in pairs:
+                if (s >> bit) & 1:
+                    acc = _jac_add_affine(acc, pt)
+        return _jac_to_affine(acc)
+
+
+# ---- host Jacobian helpers (shared with ops/msm.py's Horner fold) ----
+
+def _jac_double(pt):
+    """dbl-2009-l; pt = (X, Y, Z) Jacobian or None."""
+    if pt is None:
+        return None
+    X, Y, Z = pt
+    A = X * X % P
+    B = Y * Y % P
+    C = B * B % P
+    D = 2 * ((X + B) * (X + B) - A - C) % P
+    E = 3 * A % P
+    F = E * E % P
+    X3 = (F - 2 * D) % P
+    Y3 = (E * (D - X3) - 8 * C) % P
+    Z3 = 2 * Y * Z % P
+    return (X3, Y3, Z3) if Z3 else None
+
+
+def _jac_add_affine(pt, q):
+    """madd-2007-bl: Jacobian + affine (x, y); q None = identity."""
+    if q is None:
+        return pt
+    x2, y2 = q
+    if pt is None:
+        return (x2, y2, 1)
+    X1, Y1, Z1 = pt
+    Z1Z1 = Z1 * Z1 % P
+    U2 = x2 * Z1Z1 % P
+    S2 = y2 * Z1Z1 * Z1 % P
+    if U2 == X1 and S2 == Y1:
+        return _jac_double(pt)
+    H = (U2 - X1) % P
+    if H == 0:  # U2 == X1, S2 == -Y1
+        return None
+    HH = H * H % P
+    I = 4 * HH % P
+    J = H * I % P
+    R_ = 2 * (S2 - Y1) % P
+    V = X1 * I % P
+    X3 = (R_ * R_ - J - 2 * V) % P
+    Y3 = (R_ * (V - X3) - 2 * Y1 * J) % P
+    Z3 = ((Z1 + H) * (Z1 + H) - Z1Z1 - HH) % P
+    return (X3, Y3, Z3) if Z3 else None
+
+
+def _jac_to_affine(pt):
+    if pt is None:
+        return None
+    X, Y, Z = pt
+    if Z % P == 0:
+        return None
+    zi = pow(Z, -1, P)
+    zi2 = zi * zi % P
+    return (X * zi2 % P, Y * zi2 % P * zi % P)
+
+
+def _g1_mul_jacobian(a, k: int):
+    """Scalar mul in Jacobian coordinates: one inversion total instead of
+    one per double/add (the verifier multiplies ~40 commitments per proof;
+    affine host muls were its dominant cost)."""
+    if a is None or k == 0:
+        return None
+    acc = None
+    for bit in bin(k)[2:]:
+        acc = _jac_double(acc)
+        if bit == "1":
+            acc = _jac_add_affine(acc, a)
+    return _jac_to_affine(acc)
 
 
 G1 = _Group("G1", B1, G1_GEN, is_fq2=False)

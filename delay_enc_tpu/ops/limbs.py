@@ -148,11 +148,13 @@ FQ_CTX = FieldCtx.make(FQ)
 #    Horner combine over 254 bit planes) dispatch-latency-bound.
 # `_is_small` picks the variant by static batch size.
 
-# Unrolled limb chains are ~8x faster at runtime than the lax.scan forms on
-# this TPU runtime (loop iteration overhead dominates); scans are kept for
-# very large arrays where the unrolled graph's live set could exceed the
-# compile service's memory ceiling.
-_UNROLL_MAX_ELEMS = 1 << 21
+# Unrolled limb chains are orders of magnitude faster at runtime than the
+# lax.scan forms on TPU (XLA fuses them into single elementwise kernels;
+# the scan forms materialize their carried (…, 32) state in HBM on every
+# one of the ~34 steps — a measured ~400x slowdown, and a 25 GB allocation
+# at k=16's batched quotient sizes).  The threshold is only a safety valve
+# for absurd shapes; in practice every TPU kernel unrolls.
+_UNROLL_MAX_ELEMS = 1 << 27
 _FORCE_UNROLL = False
 
 

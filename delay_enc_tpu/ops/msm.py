@@ -241,58 +241,7 @@ def plane_sums_batch(tables, scalar_limbs: jnp.ndarray) -> jnp.ndarray:
 
 # ---- host-side Horner combine (Jacobian; ~us per step vs ~ms on device) --
 
-def _jac_double(pt):
-    if pt is None:
-        return None
-    x, y, z = pt
-    a = x * x % P
-    b = y * y % P
-    c = b * b % P
-    d = 2 * ((x + b) * (x + b) - a - c) % P
-    e = 3 * a % P
-    f = e * e % P
-    x3 = (f - 2 * d) % P
-    y3 = (e * (d - x3) - 8 * c) % P
-    z3 = 2 * y * z % P
-    return (x3, y3, z3)
-
-
-def _jac_add_affine(pt, q):
-    """Jacobian + affine (mixed addition)."""
-    if q is None:
-        return pt
-    x2, y2 = q
-    if pt is None:
-        return (x2, y2, 1)
-    x1, y1, z1 = pt
-    z1z1 = z1 * z1 % P
-    u2 = x2 * z1z1 % P
-    s2 = y2 * z1z1 * z1 % P
-    if u2 == x1 and s2 == y1:
-        return _jac_double(pt)
-    h = (u2 - x1) % P
-    if h == 0:  # u2 == x1, s2 == -y1: P + (-P) = inf
-        return None
-    hh = h * h % P
-    i = 4 * hh % P
-    j = h * i % P
-    r = 2 * (s2 - y1) % P
-    v = x1 * i % P
-    x3 = (r * r - j - 2 * v) % P
-    y3 = (r * (v - x3) - 2 * y1 * j) % P
-    z3 = ((z1 + h) * (z1 + h) - z1z1 - hh) % P
-    return (x3, y3, z3)
-
-
-def _jac_to_affine(pt):
-    if pt is None:
-        return None
-    x, y, z = pt
-    if z % P == 0:
-        return None
-    zi = pow(z, -1, P)
-    zi2 = zi * zi % P
-    return (x * zi2 % P, y * zi2 % P * zi % P)
+from ..curves.bn254 import _jac_add_affine, _jac_double, _jac_to_affine
 
 
 def horner_host(plane_pts_affine) -> "tuple | None":

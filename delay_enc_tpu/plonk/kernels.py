@@ -215,9 +215,16 @@ def _jit_quotient(advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext,
     exprs = [gate, e_perm_a, e_perm_b, e_perm_c]
     for i in range(len(LOOKUPS)):
         exprs.extend([lk_a[i], lk_b[i], lk_c[i], lk_d[i], lk_e[i]])
-    expr_st = jnp.stack(exprs)  # (24, n_ext, 16)
-    weighted = mul(y_pows_rev[:, None, :], expr_st)
-    total = _tree_sum(weighted)
+    # weighted sum in chunks of 8: a single (24, n_ext, 32) batched
+    # mont_mul's fused temporaries are ~1.5 GB at k=16 and OOM the chip
+    # when several stay live; 8-wide chunks keep peak HBM bounded
+    total = None
+    CH = 8
+    for off in range(0, len(exprs), CH):
+        sub = jnp.stack(exprs[off : off + CH])
+        w = mul(y_pows_rev[off : off + CH, None, :], sub)
+        part = _tree_sum(w)
+        total = part if total is None else addf(total, part)
 
     h_ext = mul(total, zh_inv_ext)
     h_coeff = _stockham(CTX, h_ext, tws_inv_ext)

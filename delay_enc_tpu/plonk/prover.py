@@ -84,6 +84,8 @@ def _table_keys(tbl_tags, tbl_vals, usable: int, theta: int):
     in numpy replaces the old per-proof 254-bit Python sort (the dominant
     host cost of the lookup phase)."""
     p = FR.p
+    assert all(int(t) < (1 << 16) and int(v) < (1 << 16) for t, v in zip(tbl_tags, tbl_vals)), \
+        "u32 pair keys require 16-bit tags and values (cs/range.py widths <= 16)"
     fmap = {0: 0}
     keys = []
     for t, v in zip(tbl_tags, tbl_vals):

@@ -202,21 +202,30 @@ def _verify(srs, vk: VerifyingKey, proof: bytes, instances) -> bool:
         (names_winvx, ev_winvx, x_winv),
     ]
 
-    w_comb = None
-    p_comb = None
+    # Flatten the whole GWC combination into two host MSMs:
+    #   p_comb = sum_s u^s (z_s W_s + sum_i v^i C_{s,i} - e_s G)
+    #   w_comb = sum_s u^s W_s
+    # (shared-doubling multi-exponentiation — one Jacobian chain instead of
+    # ~40 independent 254-bit scalar muls).
+    scalars, points = [], []
+    g_scalar = 0
     u_pow = 1
     for (names, evs, z), w_pt in zip(sets, w_points):
-        cq = None
-        eq = 0
         v_pow = 1
         for nm in names:
-            cq = G1.add(cq, G1.mul(comm_map[nm], v_pow))
-            eq = (eq + v_pow * evs[nm]) % P
+            scalars.append(u_pow * v_pow % P)
+            points.append(comm_map[nm])
+            g_scalar = (g_scalar + u_pow * v_pow % P * evs[nm]) % P
             v_pow = v_pow * v % P
-        term = G1.add(G1.mul(w_pt, z), G1.add(cq, G1.neg(G1.mul(G1_GEN, eq))))
-        p_comb = G1.add(p_comb, G1.mul(term, u_pow))
-        w_comb = G1.add(w_comb, G1.mul(w_pt, u_pow))
+        scalars.append(u_pow * z % P)
+        points.append(w_pt)
         u_pow = u_pow * u % P
+    scalars.append((-g_scalar) % P)
+    points.append(G1_GEN)
+    p_comb = G1.multi_scalar_mul(scalars, points)
+    w_comb = G1.multi_scalar_mul(
+        [pow(u, s, P) for s in range(len(w_points))], w_points
+    )
 
     return pairing_check(
         [(w_comb, srs.tau_g2), (G1.neg(p_comb), srs.g2)]
