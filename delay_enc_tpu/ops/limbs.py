@@ -199,6 +199,128 @@ def _is_small(shape) -> bool:
     return n <= _UNROLL_MAX_ELEMS
 
 
+# ---------------------------------------------------------- limb-list core
+#
+# Profiling the padded/concatenated unrolled forms showed XLA lowers every
+# jnp.pad-shifted column accumulation to its own pad_add kernel (~60 kernels
+# and ~60 full HBM round trips per Montgomery multiply).  The limb-LIST core
+# below keeps each limb as an independent (batch,) array and does all column
+# shifting by Python list indexing at trace time: the entire multiply (and
+# chains of multiplies, additions, selects across ops) is one pure
+# elementwise DAG that XLA fuses into a handful of kernels.
+#
+# Arrays at jit boundaries stay in the (…, 16) minor-dim layout; `unpack`
+# (16 free slice-views) and `pack` (one stack) convert at the edges.
+
+def unpack(a: jnp.ndarray) -> list:
+    """(…, 16) -> list of 16 (…,) limb rows (zero-copy views)."""
+    return [a[..., i] for i in range(NLIMB)]
+
+
+def pack(rows: list) -> jnp.ndarray:
+    """list of 16 (…,) rows -> (…, 16) (broadcasting rows as needed)."""
+    shape = jnp.broadcast_shapes(*(r.shape for r in rows))
+    return jnp.stack([jnp.broadcast_to(r, shape) for r in rows], axis=-1)
+
+
+def ll_zero_like(rows: list) -> list:
+    z = rows[0] * 0
+    return [z] * NLIMB
+
+
+def ll_carry_and_mod(ctx: FieldCtx, cols: list) -> list:
+    """Fused carry-propagate over 16 columns (each < 2^32 total) +
+    conditional subtract-p; returns canonical limb rows."""
+    ph = ctx.p_host
+    limbs, diffs = [], []
+    carry = cols[0] * 0
+    borrow = carry
+    for i in range(NLIMB):
+        v = cols[i] + carry
+        limb = v & MASK
+        carry = v >> LIMB_BITS
+        d = limb - ph[i] - borrow
+        borrow = (d >> 31) & 1
+        limbs.append(limb)
+        diffs.append(d & MASK)
+    ge = borrow == 0
+    return [jnp.where(ge, d, r) for d, r in zip(diffs, limbs)]
+
+
+def ll_add(ctx: FieldCtx, a: list, b: list) -> list:
+    return ll_carry_and_mod(ctx, [x + y for x, y in zip(a, b)])
+
+
+def ll_sub(ctx: FieldCtx, a: list, b: list) -> list:
+    """(a + p) - b with fused carry/borrow chains, then reduce."""
+    ph = ctx.p_host
+    outs, diffs = [], []
+    carry = a[0] * 0 + b[0] * 0
+    borrow = carry
+    borrow2 = carry
+    for i in range(NLIMB):
+        v = a[i] + ph[i] + carry
+        carry = v >> LIMB_BITS
+        d = (v & MASK) - b[i] - borrow
+        borrow = (d >> 31) & 1
+        r = d & MASK
+        d2 = r - ph[i] - borrow2
+        borrow2 = (d2 >> 31) & 1
+        outs.append(r)
+        diffs.append(d2 & MASK)
+    ge = borrow2 == 0
+    return [jnp.where(ge, d, r) for d, r in zip(diffs, outs)]
+
+
+def ll_mont_mul(ctx: FieldCtx, a: list, b: list) -> list:
+    """Montgomery product on limb rows: schoolbook into 32 carry-save
+    columns (pure adds — column shifts are list indices), then the 16-step
+    base-2^16 reduction."""
+    ph = ctx.p_host
+    npi = ctx.n_prime
+    cols = [None] * (2 * NLIMB)
+
+    def acc(k, v):
+        cols[k] = v if cols[k] is None else cols[k] + v
+
+    for j in range(NLIMB):
+        bj = b[j]
+        for i in range(NLIMB):
+            p = a[i] * bj  # 16x16-bit product, exact in uint32
+            acc(i + j, p & MASK)
+            acc(i + j + 1, p >> LIMB_BITS)
+    zero = a[0] * 0 + b[0] * 0
+    for k in range(2 * NLIMB):
+        if cols[k] is None:
+            cols[k] = zero
+
+    carry = zero
+    for i in range(NLIMB):
+        tot = cols[i] + carry
+        u = ((tot & MASK) * npi) & MASK
+        up0 = u * ph[0]
+        carry = (tot + (up0 & MASK)) >> LIMB_BITS
+        cols[i + 1] = cols[i + 1] + (up0 >> LIMB_BITS)
+        for jl in range(1, NLIMB):
+            up = u * ph[jl]
+            cols[i + jl] = cols[i + jl] + (up & MASK)
+            cols[i + jl + 1] = cols[i + jl + 1] + (up >> LIMB_BITS)
+    top = cols[NLIMB:]
+    top[0] = top[0] + carry
+    return ll_carry_and_mod(ctx, top)
+
+
+def ll_select(cond, a: list, b: list) -> list:
+    """cond ? a : b elementwise on limb rows (cond batch-shaped)."""
+    return [jnp.where(cond, x, y) for x, y in zip(a, b)]
+
+
+def ll_const(ctx: FieldCtx, limbs_np, like: list) -> list:
+    """Broadcast a host (16,) canonical/Montgomery constant to limb rows."""
+    z = like[0] * 0
+    return [z + int(v) for v in np.asarray(limbs_np)]
+
+
 def _carry_propagate(cols: jnp.ndarray, n_out: int) -> jnp.ndarray:
     """Sequential carry chain over limb positions."""
     if _is_small(cols.shape):
@@ -253,22 +375,7 @@ def _carry_and_mod(ctx: FieldCtx, cols: jnp.ndarray) -> jnp.ndarray:
     of two (sequential depth is the scarce resource on-device)."""
     p = ctx.p_limbs
     if _is_small(cols.shape):
-        # 2-D column-sliced form: no 1-D values, no stacks (Mosaic-friendly)
-        ph = ctx.p_host
-        limbs, diffs = [], []
-        carry = cols[..., 0:1] * 0
-        borrow = carry
-        for i in range(NLIMB):
-            v = cols[..., i : i + 1] + carry
-            limb = v & MASK
-            carry = v >> LIMB_BITS
-            d = limb - ph[i] - borrow
-            borrow = (d >> 31) & 1
-            limbs.append(limb)
-            diffs.append(d & MASK)
-        raw = jnp.concatenate(limbs, axis=-1)
-        diff = jnp.concatenate(diffs, axis=-1)
-        return jnp.where(borrow == 0, diff, raw)
+        return pack(ll_carry_and_mod(ctx, [cols[..., i] for i in range(NLIMB)]))
     cols_t = jnp.moveaxis(cols[..., :NLIMB], -1, 0)
     p_t = p.reshape(NLIMB, *([1] * (cols.ndim - 1)))
 
@@ -295,24 +402,10 @@ def sub(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     # (a + p) - b via a fused carry/borrow chain; result < 2p, then reduce.
     p = ctx.p_limbs
     if _is_small(a.shape) and _is_small(b.shape):
-        ph = ctx.p_host
-        outs, diffs = [], []
-        carry = a[..., 0:1] * 0
-        borrow = carry
-        borrow2 = carry
-        for i in range(NLIMB):
-            v = a[..., i : i + 1] + ph[i] + carry
-            carry = v >> LIMB_BITS
-            d = (v & MASK) - b[..., i : i + 1] - borrow
-            borrow = (d >> 31) & 1
-            r = d & MASK
-            d2 = r - ph[i] - borrow2
-            borrow2 = (d2 >> 31) & 1
-            outs.append(r)
-            diffs.append(d2 & MASK)
-        raw = jnp.concatenate(outs, axis=-1)
-        diff = jnp.concatenate(diffs, axis=-1)
-        return jnp.where(borrow2 == 0, diff, raw)
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        a = jnp.broadcast_to(a, shape)
+        b = jnp.broadcast_to(b, shape)
+        return pack(ll_sub(ctx, unpack(a), unpack(b)))
     s_t = jnp.moveaxis(a + ctx.p_limbs, -1, 0)  # columns < 2^17
     b_t = jnp.moveaxis(b, -1, 0)
     p_t = p.reshape(NLIMB, *([1] * (a.ndim - 1)))
@@ -407,29 +500,12 @@ def mont_mul(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     scatters are needed."""
     p = ctx.p_limbs
     width = 2 * NLIMB
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    if _is_small(shape):
+        a = jnp.broadcast_to(a, shape)
+        b = jnp.broadcast_to(b, shape)
+        return pack(ll_mont_mul(ctx, unpack(a), unpack(b)))
     cols = _schoolbook_cols(a, b)
-    if _is_small(cols.shape):
-        # unrolled path: only python-int constants (Pallas kernel bodies
-        # must not capture device arrays)
-        ph = ctx.p_host
-        npi = ctx.n_prime
-        carry = cols[..., 0:1] * 0
-        for i in range(NLIMB):
-            total_i = cols[..., i : i + 1] + carry  # (…,1)
-            low = total_i & MASK
-            u = (low * npi) & MASK
-            # u * p per limb, split into 16-bit halves; all (…,1) columns
-            up = [u * ph[j] for j in range(NLIMB)]
-            carry = (total_i + (up[0] & MASK)) >> LIMB_BITS
-            up_lo = jnp.concatenate([up[j] & MASK for j in range(1, NLIMB)], axis=-1)
-            up_hi = jnp.concatenate([up[j] >> LIMB_BITS for j in range(NLIMB)], axis=-1)
-            pad_lo = [(0, 0)] * (up_lo.ndim - 1) + [(i + 1, width - NLIMB - i)]
-            pad_hi = [(0, 0)] * (up_hi.ndim - 1) + [(i + 1, width - NLIMB - i - 1)]
-            cols = cols + jnp.pad(up_lo, pad_lo)
-            cols = cols + jnp.pad(up_hi, pad_hi)
-        top = cols[..., NLIMB:]
-        top = jnp.concatenate([top[..., 0:1] + carry, top[..., 1:]], axis=-1)
-        return _carry_and_mod(ctx, top)
 
     np_ = jnp.uint32(ctx.n_prime)
     first_mask = jnp.ones(NLIMB, jnp.uint32).at[0].set(0)

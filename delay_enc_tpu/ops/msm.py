@@ -40,6 +40,9 @@ from . import limbs as L
 from .limbs import FQ_CTX, FieldCtx
 
 SCALAR_BITS = 254
+# base-4 digit planes: scalar = sum_p 4^p d_p, d_p in {0..3}; halves the
+# per-commitment addition count vs bit planes (127 tree reductions, not 254)
+PLANES = 127
 P = FQ.p
 
 
@@ -80,33 +83,109 @@ def points_from_device(pts) -> list:
     return out
 
 
-def _complete_add_impl(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """Branchless complete addition on y^2 = x^3 + 3 (b3 = 9).
-    Renes-Costello-Batina Algorithm 7; p, q: (..., 3, 16) Montgomery.
+def _pt_unpack(p):
+    """(…, 3, 16) -> (X, Y, Z) limb-row lists."""
+    return (L.unpack(p[..., 0, :]), L.unpack(p[..., 1, :]), L.unpack(p[..., 2, :]))
 
-    The 12 field multiplies are packed into two *batched* mont_mul calls
-    (6 products each, stacked on a fresh leading axis): the XLA graph is
-    ~6x smaller and the VPU sees 6x wider vectors."""
+
+def _pt_pack(t) -> jnp.ndarray:
+    return jnp.stack([L.pack(t[0]), L.pack(t[1]), L.pack(t[2])], axis=-2)
+
+
+def _ll_mont_mul_many(ctx, pairs):
+    """Batch k independent limb-row products into ONE ll_mont_mul by
+    concatenating along a fresh leading axis: the Montgomery chain is the
+    dominant op count (~1.3K HLO ops), so 6 muls cost one chain instead of
+    six — the traced graph (and XLA compile time) shrinks ~5x per
+    complete addition."""
+    shape = jnp.broadcast_shapes(*(r.shape for p in pairs for side in p for r in side))
+    k = len(pairs)
+
+    def cat(side):
+        return [
+            jnp.concatenate(
+                [jnp.broadcast_to(p[side][i], shape) for p in pairs], axis=0
+            )
+            for i in range(L.NLIMB)
+        ]
+
+    out = L.ll_mont_mul(ctx, cat(0), cat(1))
+    step = shape[0]
+    return [
+        [r[j * step : (j + 1) * step] for r in out] for j in range(k)
+    ]
+
+
+def _u32rows(rows):
+    return [r.astype(jnp.uint32) for r in rows]
+
+
+def _u16rows(rows):
+    """Canonical limb rows are < 2^16: storing materialized intermediates as
+    uint16 halves the HBM traffic between fused kernels."""
+    return [r.astype(jnp.uint16) for r in rows]
+
+
+def _ll_complete_add(A, B):
+    """Branchless complete addition on y^2 = x^3 + 3 (b3 = 9) in limb-row
+    form (Renes-Costello-Batina 2016, Algorithm 7).  Pure elementwise ops
+    with the two 6-product rounds batched into single Montgomery chains."""
     ctx = FQ_CTX
+    X1, Y1, Z1 = _u32rows(A[0]), _u32rows(A[1]), _u32rows(A[2])
+    X2, Y2, Z2 = _u32rows(B[0]), _u32rows(B[1]), _u32rows(B[2])
+    A = (X1, Y1, Z1)
+    B = (X2, Y2, Z2)
+    add = lambda a, b: L.ll_add(ctx, a, b)
+    sub = lambda a, b: L.ll_sub(ctx, a, b)
+
+    t0, t1, t2, m3, m4, m5 = _ll_mont_mul_many(ctx, [
+        (X1, X2), (Y1, Y2), (Z1, Z2),
+        (add(X1, Y1), add(X2, Y2)),
+        (add(Y1, Z1), add(Y2, Z2)),
+        (add(X1, Z1), add(X2, Z2)),
+    ])
+    t3 = sub(m3, add(t0, t1))
+    t4 = sub(m4, add(t1, t2))
+    y3p = sub(m5, add(t0, t2))
+    t2_3 = add(add(t2, t2), t2)
+    t2_9 = add(add(t2_3, t2_3), t2_3)
+    y3p3 = add(add(y3p, y3p), y3p)
+    Y3 = add(add(y3p3, y3p3), y3p3)  # 9 * (X1Z2 + X2Z1)
+    t0 = add(add(t0, t0), t0)  # 3 * t0
+    Z3 = add(t1, t2_9)
+    t1 = sub(t1, t2_9)
+    r0, r1b, r2b, r3b, r4b, r5b = _ll_mont_mul_many(ctx, [
+        (t3, t1), (t4, Y3), (t1, Z3), (Y3, t0), (Z3, t4), (t0, t3),
+    ])
+    X3 = sub(r0, r1b)
+    Y3_out = add(r2b, r3b)
+    Z3_out = add(r4b, r5b)
+    return (X3, Y3_out, Z3_out)
+
+
+def _complete_add_array(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Array-level complete addition (the 12 multiplies packed into two
+    6-wide batched mont_mul calls).  Used on CPU, where the array ops lower
+    to compact lax.scan graphs that compile in seconds — the limb-row form
+    is a ~16K-op graph per addition and XLA:CPU takes minutes on it."""
+    ctx = FQ_CTX
+    p = p.astype(jnp.uint32)  # u16-stored plane sums re-enter here
+    q = q.astype(jnp.uint32)
     X1, Y1, Z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
     X2, Y2, Z2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]
     add = lambda a, b: L.add(ctx, a, b)
     sub = lambda a, b: L.sub(ctx, a, b)
 
-    # pre-adds, batched: [X1+Y1, Y1+Z1, X1+Z1, X2+Y2, Y2+Z2, X2+Z2]
     s = add(jnp.stack([X1, Y1, X1, X2, Y2, X2]), jnp.stack([Y1, Z1, Z1, Y2, Z2, Z2]))
-    # round 1: t0=X1X2, t1=Y1Y2, t2=Z1Z2, m3.., m4.., m5..
     r1 = L.mont_mul(
         ctx,
         jnp.stack([X1, Y1, Z1, s[0], s[1], s[2]]),
         jnp.stack([X2, Y2, Z2, s[3], s[4], s[5]]),
     )
     t0, t1, t2, m3, m4, m5 = (r1[i] for i in range(6))
-
     pair = add(jnp.stack([t0, t1, t0]), jnp.stack([t1, t2, t2]))
-    d3 = sub(jnp.stack([m3, m4, m5]), pair)  # [t3, t4, Y3pre]
+    d3 = sub(jnp.stack([m3, m4, m5]), pair)
     t3, t4, y3p = d3[0], d3[1], d3[2]
-    # triples: [3*t2, 3*Y3pre, 3*t0] then [9*t2, 9*Y3pre]
     tri_in = jnp.stack([t2, y3p, t0])
     tri = add(add(tri_in, tri_in), tri_in)
     nine_in = tri[:2]
@@ -115,14 +194,23 @@ def _complete_add_impl(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     t0 = tri[2]
     Z3 = add(t1, t2_9)
     t1 = sub(t1, t2_9)
-
-    # round 2: [t4*Y3, t3*t1, Y3*t0, t1*Z3, t0*t3, Z3*t4]
     r2 = L.mont_mul(
         ctx, jnp.stack([t4, t3, Y3, t1, t0, Z3]), jnp.stack([Y3, t1, t0, Z3, t3, t4])
     )
     X3 = sub(r2[1], r2[0])
     fin = add(jnp.stack([r2[3], r2[5]]), jnp.stack([r2[2], r2[4]]))
     return jnp.stack([X3, fin[0], fin[1]], axis=-2)
+
+
+def _complete_add_impl(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    shape = jnp.broadcast_shapes(p.shape, q.shape)
+    p = jnp.broadcast_to(p, shape)
+    q = jnp.broadcast_to(q, shape)
+    if not L._backend_unrolls():
+        return _complete_add_array(p, q)
+    if p.ndim == 2:  # single (3,16) point: the limb rows need a batch axis
+        return _complete_add_impl(p[None], q[None])[0]
+    return _pt_pack(_ll_complete_add(_pt_unpack(p), _pt_unpack(q)))
 
 
 def complete_add(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
@@ -177,65 +265,122 @@ def _pad_pow2(points: jnp.ndarray, scalar_limbs: jnp.ndarray):
 
 @jax.jit
 def _jit_pair_tables(points: jnp.ndarray):
-    """(n,3,16) projective Montgomery -> (p_even, p_odd, p_sum), each
-    (n/2,3,16).  Depends only on the points: build once per SRS."""
-    p_even, p_odd = points[0::2], points[1::2]
-    return p_even, p_odd, complete_add(p_even, p_odd)
+    """(n,3,16) projective Montgomery -> (16, n/2, 3, 16) base-4 pair
+    tables: option[ce + 4*co] = ce*P_even + co*P_odd for ce, co in 0..3.
+    Depends only on the points: built once per SRS, shared by every
+    commitment of every proof."""
+    pe, po = points[0::2], points[1::2]
+    inf = jnp.broadcast_to(identity_proj(), pe.shape)
+    pe2 = complete_add(pe, pe)
+    po2 = complete_add(po, po)
+    pe3 = complete_add(pe2, pe)
+    po3 = complete_add(po2, po)
+    e_opts = [inf, pe, pe2, pe3]
+    o_opts = [inf, po, po2, po3]
+    opts = [None] * 16
+    for ce in range(4):
+        opts[ce] = e_opts[ce]
+    for co in range(1, 4):
+        opts[4 * co] = o_opts[co]
+    # 9 cross sums in one batched add
+    cross = complete_add(
+        jnp.concatenate([e_opts[ce] for ce in (1, 2, 3) for _ in (1, 2, 3)], axis=0),
+        jnp.concatenate([o_opts[co] for _ in (1, 2, 3) for co in (1, 2, 3)], axis=0),
+    )
+    m = pe.shape[0]
+    idx = 0
+    for ce in (1, 2, 3):
+        for co in (1, 2, 3):
+            opts[ce + 4 * co] = cross[idx * m : (idx + 1) * m]
+            idx += 1
+    # canonical limbs are < 2^16: uint16 storage halves table read traffic
+    return jnp.stack(opts, axis=0).astype(jnp.uint16)  # (16, n/2, 3, 16)
 
 
-def _select4(tables, sel):
-    """sel (..., n/2) in {0,1,2,3} -> (..., n/2, 3, 16) branchless select of
-    [inf, P_even, P_odd, P_even+P_odd].  Pure elementwise: XLA fuses the
-    where-chain into the consuming addition tree."""
-    p_even, p_odd, p_sum = tables
-    s = sel[..., None, None]
-    inf = identity_proj()
-    x = jnp.where(s == 1, p_even, inf)
-    x = jnp.where(s == 2, p_odd, x)
-    return jnp.where(s == 3, p_sum, x)
+def _ll_select16(opts_ll, sel):
+    """sel (…, n/2) in {0..15} -> (X, Y, Z) limb rows selecting from the 16
+    base-4 pair options.  Elementwise where-chains — no gather."""
+    one_rows = [int(v) for v in L.int_to_limbs_np((1 << 256) % P)]
+    out = []
+    for coord in range(3):
+        rows = []
+        for i in range(L.NLIMB):
+            inf_i = jnp.uint16(one_rows[i]) if coord == 1 else jnp.uint16(0)
+            x = inf_i
+            for o in range(1, 16):
+                x = jnp.where(sel == o, opts_ll[o][coord][i], x)
+            rows.append(x)
+        out.append(rows)
+    return tuple(out)
 
 
 PLANE_CHUNK = 16
 
 
 @jax.jit
-def _jit_plane_sums(p_even, p_odd, p_sum, sel_chunks):
-    """sel_chunks (nc, C, n/2) uint8 -> (nc, C, 3, 16) per-plane sums."""
+def _jit_plane_sums(opts, sel_chunks):
+    """opts (16, n/2, 3, 16); sel_chunks (nc, C, n/2) uint8 ->
+    (nc, C, 3, 16) per-plane sums.  On TPU the select + full binary
+    addition tree runs in limb-row form — one pure elementwise DAG per
+    chunk, packed to (C, 3, 16) at the end; on CPU a compact array/scan
+    form compiles in seconds instead."""
+    if not L._backend_unrolls():
+        inf = identity_proj()
+
+        def chunk_array(s):
+            sel = s[..., None, None]
+            x = jnp.broadcast_to(inf, s.shape + (3, L.NLIMB))
+            for o in range(1, 16):
+                x = jnp.where(sel == o, opts[o].astype(jnp.uint32), x)
+            while x.shape[1] > 1:
+                h = x.shape[1] // 2
+                x = _complete_add_array(x[:, :h], x[:, h:])
+            return x[:, 0]
+
+        return jax.lax.map(chunk_array, sel_chunks)
+
+    opts_ll = [_pt_unpack(opts[o]) for o in range(16)]
 
     def chunk(s):
-        x = _select4((p_even, p_odd, p_sum), s)  # (C, n/2, 3, 16)
-        while x.shape[1] > 1:
-            h = x.shape[1] // 2
-            x = complete_add(x[:, :h], x[:, h:])
-        return x[:, 0]
+        x = _ll_select16(opts_ll, s)  # rows (C, n/2), uint16
+        width = s.shape[-1]
+        while width > 1:
+            h = width // 2
+            lo = tuple([r[..., :h] for r in coord] for coord in x)
+            hi = tuple([r[..., h:] for r in coord] for coord in x)
+            x = _ll_complete_add(lo, hi)
+            x = tuple(_u16rows(coord) for coord in x)  # halve stored bytes
+            width = h
+        return _pt_pack(tuple([r[..., 0] for r in coord] for coord in x))
 
     return jax.lax.map(chunk, sel_chunks)
 
 
 @jax.jit
 def _jit_pair_sel(scalar_limbs):
-    """(..., n, 16) canonical -> (..., 254, n/2) uint8 pair selectors
-    (bit_even + 2*bit_odd per plane)."""
+    """(..., n, 16) canonical -> (..., 127, n/2) uint8 base-4 pair
+    selectors (digit_even + 4*digit_odd per plane)."""
     bits = scalar_bits_from_limbs(scalar_limbs)  # (..., 254, n)
     *lead, nb, n = bits.shape
-    b = bits.reshape(*lead, nb, n // 2, 2)
-    return (b[..., 0] + 2 * b[..., 1]).astype(jnp.uint8)
+    d = bits.reshape(*lead, PLANES, 2, n)
+    d4 = d[..., 0, :] + 2 * d[..., 1, :]  # (..., 127, n) digit per point
+    pairs = d4.reshape(*lead, PLANES, n // 2, 2)
+    return (pairs[..., 0] + 4 * pairs[..., 1]).astype(jnp.uint8)
 
 
 def plane_sums_batch(tables, scalar_limbs: jnp.ndarray) -> jnp.ndarray:
     """tables from `_jit_pair_tables`; scalar_limbs (B, n, 16) canonical.
-    Returns (B, 254, 3, 16) plane sums (device)."""
-    p_even, p_odd, p_sum = tables
-    sel = _jit_pair_sel(scalar_limbs)  # (B, 254, n/2)
+    Returns (B, 127, 3, 16) base-4 plane sums (device)."""
+    sel = _jit_pair_sel(scalar_limbs)  # (B, 127, n/2)
     b = sel.shape[0]
-    flat = sel.reshape(b * SCALAR_BITS, -1)
+    flat = sel.reshape(b * PLANES, -1)
     nc = (flat.shape[0] + PLANE_CHUNK - 1) // PLANE_CHUNK
     pad = nc * PLANE_CHUNK - flat.shape[0]
     if pad:
         flat = jnp.concatenate([flat, jnp.zeros((pad, flat.shape[1]), flat.dtype)], axis=0)
-    sums = _jit_plane_sums(p_even, p_odd, p_sum, flat.reshape(nc, PLANE_CHUNK, -1))
-    return sums.reshape(nc * PLANE_CHUNK, 3, L.NLIMB)[: b * SCALAR_BITS].reshape(
-        b, SCALAR_BITS, 3, L.NLIMB
+    sums = _jit_plane_sums(tables, flat.reshape(nc, PLANE_CHUNK, -1))
+    return sums.reshape(nc * PLANE_CHUNK, 3, L.NLIMB)[: b * PLANES].reshape(
+        b, PLANES, 3, L.NLIMB
     )
 
 
@@ -245,11 +390,11 @@ from ..curves.bn254 import _jac_add_affine, _jac_double, _jac_to_affine
 
 
 def horner_host(plane_pts_affine) -> "tuple | None":
-    """plane_pts_affine: LSB-first list of 254 affine points (or None).
-    Returns the affine MSM result sum_b 2^b S_b."""
+    """plane_pts_affine: LSB-first list of 127 base-4 plane sums (affine or
+    None).  Returns the affine MSM result sum_p 4^p S_p."""
     acc = None
     for pt in reversed(plane_pts_affine):
-        acc = _jac_double(acc)
+        acc = _jac_double(_jac_double(acc))
         acc = _jac_add_affine(acc, pt)
     return _jac_to_affine(acc)
 
@@ -281,11 +426,11 @@ def proj_batch_to_affine_host(pts_dev) -> list:
 def msm_with_tables(tables, scalar_limbs: jnp.ndarray):
     """tables from `_jit_pair_tables` (padded pow2 point count);
     scalar_limbs (B, n, 16) canonical.  Returns B host affine points."""
-    sums = plane_sums_batch(tables, scalar_limbs)  # (B, 254, 3, 16)
+    sums = plane_sums_batch(tables, scalar_limbs)  # (B, 127, 3, 16)
     b = sums.shape[0]
     affine = proj_batch_to_affine_host(sums)
     return [
-        horner_host(affine[i * SCALAR_BITS : (i + 1) * SCALAR_BITS]) for i in range(b)
+        horner_host(affine[i * PLANES : (i + 1) * PLANES]) for i in range(b)
     ]
 
 

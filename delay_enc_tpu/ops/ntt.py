@@ -83,16 +83,33 @@ class NTTPlan:
 
 
 def stockham(ctx: FieldCtx, a: jnp.ndarray, tws) -> jnp.ndarray:
-    """Natural-order radix-2 NTT; a: (n, 16), tws: per-stage twiddles."""
+    """Natural-order radix-2 NTT; a: (n, 16), tws: per-stage twiddles.
+
+    Each stage runs the butterfly in limb-row form (pure elementwise — one
+    fused XLA kernel group), then packs and interleaves once; the only
+    structural data movement per stage is that single (l, 2, m, 16) stack."""
     n = a.shape[0]
     k = n.bit_length() - 1
     l, m = n // 2, 1
+    if not L._backend_unrolls():
+        # compact array/scan form for CPU (fast compiles)
+        for t in range(k):
+            x3 = a.reshape(2 * l, m, L.NLIMB)
+            c0, c1 = x3[:l], x3[l:]
+            s = L.add(ctx, c0, c1)
+            d = L.mont_mul(ctx, tws[t][:, None, :], L.sub(ctx, c0, c1))
+            a = jnp.stack([s, d], axis=1).reshape(n, L.NLIMB)
+            l //= 2
+            m *= 2
+        return a
     for t in range(k):
-        x3 = a.reshape(2 * l, m, L.NLIMB)
-        c0, c1 = x3[:l], x3[l:]
-        s = L.add(ctx, c0, c1)
-        d = L.mont_mul(ctx, tws[t][:, None, :], L.sub(ctx, c0, c1))
-        a = jnp.stack([s, d], axis=1).reshape(n, L.NLIMB)
+        rows = [a[..., i].reshape(2 * l, m) for i in range(L.NLIMB)]
+        c0 = [r[:l] for r in rows]
+        c1 = [r[l:] for r in rows]
+        tw = [tws[t][:, i][:, None] for i in range(L.NLIMB)]  # (l, 1)
+        s = L.ll_add(ctx, c0, c1)
+        d = L.ll_mont_mul(ctx, tw, L.ll_sub(ctx, c0, c1))
+        a = jnp.stack([L.pack(s), L.pack(d)], axis=1).reshape(n, L.NLIMB)
         l //= 2
         m *= 2
     return a

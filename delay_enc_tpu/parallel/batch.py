@@ -22,26 +22,24 @@ from ..ops import msm as M
 def batch_plane_sums(mesh: Mesh, g1_powers: jnp.ndarray, coeff_batch: jnp.ndarray,
                      axis: str = "shard"):
     """g1_powers (n,3,16) replicated; coeff_batch (B,n,16) canonical scalars
-    sharded on B.  Returns (B,254,3,16) plane sums, sharded on B."""
+    sharded on B.  Returns (B,127,3,16) plane sums, sharded on B."""
     ndev = mesh.shape[axis]
     assert coeff_batch.shape[0] % ndev == 0
 
     def local(pts, coeffs):
         tables = M._jit_pair_tables.__wrapped__(pts)
         b = coeffs.shape[0]
-        sel = M._jit_pair_sel.__wrapped__(coeffs)  # (b, 254, n/2)
-        flat = sel.reshape(b * M.SCALAR_BITS, -1)
+        sel = M._jit_pair_sel.__wrapped__(coeffs)  # (b, 127, n/2)
+        flat = sel.reshape(b * M.PLANES, -1)
         nc = (flat.shape[0] + M.PLANE_CHUNK - 1) // M.PLANE_CHUNK
         pad = nc * M.PLANE_CHUNK - flat.shape[0]
         if pad:
             flat = jnp.concatenate(
                 [flat, jnp.zeros((pad, flat.shape[1]), flat.dtype)], axis=0
             )
-        sums = M._jit_plane_sums.__wrapped__(
-            tables[0], tables[1], tables[2], flat.reshape(nc, M.PLANE_CHUNK, -1)
-        )
-        return sums.reshape(nc * M.PLANE_CHUNK, 3, L.NLIMB)[: b * M.SCALAR_BITS].reshape(
-            b, M.SCALAR_BITS, 3, L.NLIMB
+        sums = M._jit_plane_sums.__wrapped__(tables, flat.reshape(nc, M.PLANE_CHUNK, -1))
+        return sums.reshape(nc * M.PLANE_CHUNK, 3, L.NLIMB)[: b * M.PLANES].reshape(
+            b, M.PLANES, 3, L.NLIMB
         )
 
     f = shard_map(local, mesh=mesh, in_specs=(P(), P(axis)), out_specs=P(axis))
@@ -56,7 +54,7 @@ def batch_commit(mesh: Mesh, g1_powers: jnp.ndarray, coeff_batch: jnp.ndarray,
     affine = M.proj_batch_to_affine_host(sums)
     return M.points_to_device(
         [
-            M.horner_host(affine[i * M.SCALAR_BITS : (i + 1) * M.SCALAR_BITS])
+            M.horner_host(affine[i * M.PLANES : (i + 1) * M.PLANES])
             for i in range(b)
         ]
     )

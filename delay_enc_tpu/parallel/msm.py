@@ -4,7 +4,7 @@ Each device computes the 254 bit-plane sums of its point/scalar shard with
 the gather-free pair-table kernel (ops/msm.py), then the per-device plane
 sums are combined with an all_gather + a *batched* complete-add tree over
 the device axis (EC addition is not a `psum`-able monoid; the partials are
-254 x 48B per device, trivially cheap on ICI, and the tree is 254-wide so
+127 x 48B per device, trivially cheap on ICI, and the tree is 254-wide so
 it is not latency-bound).  The final 2^b-weighted Horner fold runs on the
 host, exactly as in the single-chip path (a 253-deep doubling chain is
 microseconds in host bignum arithmetic but ~ms/step as batch-1 device
@@ -22,20 +22,19 @@ from ..ops import msm as M
 
 
 def _local_plane_sums(pts, scs):
-    """(n_loc,3,16) x (n_loc,16) -> (254,3,16) bit-plane sums of the shard."""
+    """(n_loc,3,16) x (n_loc,16) -> (127,3,16) base-4 plane sums of the
+    shard."""
     tables = M._jit_pair_tables.__wrapped__(pts)  # traced inline (no nested jit)
-    sel = M._jit_pair_sel.__wrapped__(scs[None])[0]  # (254, n_loc/2)
-    nc = (M.SCALAR_BITS + M.PLANE_CHUNK - 1) // M.PLANE_CHUNK
-    pad = nc * M.PLANE_CHUNK - M.SCALAR_BITS
+    sel = M._jit_pair_sel.__wrapped__(scs[None])[0]  # (127, n_loc/2)
+    nc = (M.PLANES + M.PLANE_CHUNK - 1) // M.PLANE_CHUNK
+    pad = nc * M.PLANE_CHUNK - M.PLANES
     sel = jnp.concatenate([sel, jnp.zeros((pad, sel.shape[1]), sel.dtype)], axis=0)
-    sums = M._jit_plane_sums.__wrapped__(
-        tables[0], tables[1], tables[2], sel.reshape(nc, M.PLANE_CHUNK, -1)
-    )
-    return sums.reshape(nc * M.PLANE_CHUNK, 3, L.NLIMB)[: M.SCALAR_BITS]
+    sums = M._jit_plane_sums.__wrapped__(tables, sel.reshape(nc, M.PLANE_CHUNK, -1))
+    return sums.reshape(nc * M.PLANE_CHUNK, 3, L.NLIMB)[: M.PLANES]
 
 
 def _tree_over_devices(gathered):
-    """(D, 254, 3, 16) -> (254, 3, 16) with batched complete adds."""
+    """(D, 127, 3, 16) -> (127, 3, 16) with batched complete adds."""
     while gathered.shape[0] > 1:
         half = gathered.shape[0] // 2
         top = M.complete_add(gathered[:half], gathered[half : 2 * half])
@@ -47,7 +46,7 @@ def _tree_over_devices(gathered):
 
 def sharded_plane_sums(mesh: Mesh, points: jnp.ndarray, scalar_limbs: jnp.ndarray,
                        axis: str = "shard"):
-    """Device part of the sharded MSM: (254,3,16) plane sums, replicated."""
+    """Device part of the sharded MSM: (127,3,16) plane sums, replicated."""
     ndev = mesh.shape[axis]
     n = points.shape[0]
     assert n % ndev == 0, f"N={n} not divisible by {ndev} devices"
@@ -55,7 +54,7 @@ def sharded_plane_sums(mesh: Mesh, points: jnp.ndarray, scalar_limbs: jnp.ndarra
 
     def local(pts, scs):
         sums = _local_plane_sums(pts, scs)
-        gathered = jax.lax.all_gather(sums, axis)  # (D, 254, 3, 16)
+        gathered = jax.lax.all_gather(sums, axis)  # (D, 127, 3, 16)
         return _tree_over_devices(gathered)
 
     f = shard_map(

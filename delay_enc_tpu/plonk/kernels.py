@@ -28,15 +28,13 @@ CTX = L.FR_CTX
 from ..ops.ntt import stockham as _stockham
 
 
-@jax.jit
-def _jit_coeff(a, tws_inv, n_inv):
+def _coeff(a, tws_inv, n_inv):
     """iNTT: evaluations -> coefficients (Stockham, gather-free)."""
     out = _stockham(CTX, a, tws_inv)
     return L.mont_mul(CTX, out, n_inv[None, :])
 
 
-@jax.jit
-def _jit_ext(coeff, zeta_powers, tws_ext):
+def _ext(coeff, zeta_powers, tws_ext):
     """coefficients -> evaluations on the extended coset zeta*H_ext."""
     n_ext = zeta_powers.shape[0]
     padded = jnp.concatenate(
@@ -45,9 +43,16 @@ def _jit_ext(coeff, zeta_powers, tws_ext):
     return _stockham(CTX, L.mont_mul(CTX, padded, zeta_powers), tws_ext)
 
 
-@jax.jit
-def _jit_evals(coeff, tws):
-    return _stockham(CTX, coeff, tws)
+_jit_coeff = jax.jit(_coeff)
+_jit_ext = jax.jit(_ext)
+_jit_evals = jax.jit(lambda coeff, tws: _stockham(CTX, coeff, tws))
+# batched variants: one NTT launch for a whole stack of columns — vmap maps
+# the per-stage slices/interleaves over the leading axis, so the per-stage
+# launch overhead amortizes across the stack
+_jit_coeff_batch = jax.jit(jax.vmap(_coeff, in_axes=(0, None, None)))
+_jit_ext_batch = jax.jit(jax.vmap(_ext, in_axes=(0, None, None)))
+_jit_evals_batch = jax.jit(jax.vmap(lambda coeff, tws: _stockham(CTX, coeff, tws),
+                                    in_axes=(0, None)))
 
 
 @jax.jit
@@ -104,8 +109,7 @@ def _jit_lookup_fracs(a, s, ap, sp, beta_m, gamma_m):
 # permutation/lookup provers (each z is opened at x and omega*x, so
 # deterministic tail rows would weaken zero-knowledge).
 
-@jax.jit
-def _jit_gp_partials(num, den, active_mask):
+def _gp_partials(num, den, active_mask):
     one = jnp.broadcast_to(CTX.one_mont(), num.shape)
     num = L.select(active_mask, num, one)
     den = L.select(active_mask, den, one)
@@ -114,8 +118,7 @@ def _jit_gp_partials(num, den, active_mask):
     return num, pre, suf, pre[-1]
 
 
-@jax.jit
-def _jit_gp_finish(num, pre, suf, total_inv_m, blind_rows):
+def _gp_finish(num, pre, suf, total_inv_m, blind_rows):
     one = jnp.broadcast_to(CTX.one_mont(), num.shape)
     pre_excl = jnp.concatenate([one[:1], pre[:-1]], axis=0)
     suf_excl = jnp.concatenate([suf[1:], one[:1]], axis=0)
@@ -127,6 +130,13 @@ def _jit_gp_finish(num, pre, suf, total_inv_m, blind_rows):
     z = jnp.concatenate([one[:1], pref[:-1]], axis=0)
     keep = z.shape[0] - blind_rows.shape[0]
     return jnp.concatenate([z[:keep], blind_rows], axis=0)
+
+
+_jit_gp_partials = jax.jit(_gp_partials)
+_jit_gp_finish = jax.jit(_gp_finish)
+# all 5 grand products (permutation + 4 lookups) in one batched launch
+_jit_gp_partials_batch = jax.jit(jax.vmap(_gp_partials, in_axes=(0, 0, None)))
+_jit_gp_finish_batch = jax.jit(jax.vmap(_gp_finish))
 
 
 def _rot(ext, steps):

@@ -54,12 +54,13 @@ from .kernels import (
     _jit_canon_batch,
     msm_commit_batch,
     _jit_coeff,
+    _jit_coeff_batch,
     _jit_compress,
     _jit_eval_stack,
-    _jit_evals,
-    _jit_ext,
-    _jit_gp_finish,
-    _jit_gp_partials,
+    _jit_evals_batch,
+    _jit_ext_batch,
+    _jit_gp_finish_batch,
+    _jit_gp_partials_batch,
     _jit_gwc_witness,
     _jit_lookup_fracs,
     _jit_perm_fracs,
@@ -174,8 +175,9 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     def to_coeff(col):
         return _jit_coeff(col, plan.tw_inv, plan.n_inv)
 
-    def to_ext(coeff):
-        return _jit_ext(coeff, pk.zeta_powers, plan_ext.tw)
+    def to_coeff_batch(cols):
+        """One batched iNTT launch for a stack of columns."""
+        return _jit_coeff_batch(jnp.stack(cols), plan.tw_inv, plan.n_inv)
 
     pair_tables = srs.pair_tables()
 
@@ -194,11 +196,12 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
             col[r] = _rand_fr(rng)
         advice_host.append(col)
     advice_raw = [jnp.asarray(ctx.to_mont_np(col)) for col in advice_host]
-    advice_coeff = [to_coeff(a) for a in advice_raw]
     # instance column: public values padded with zeros, NOT blinded
     instance_col = list(builder.instance) + [0] * (n - len(builder.instance))
     instance_raw = jnp.asarray(ctx.to_mont_np(instance_col))
-    instance_coeff = to_coeff(instance_raw)
+    coeffs6 = to_coeff_batch(advice_raw + [instance_raw])
+    advice_coeff = [coeffs6[c] for c in range(NUM_ADVICE)]
+    instance_coeff = coeffs6[NUM_ADVICE]
     for pt in commit_many(advice_coeff):
         tr.write_point(pt)
     _phase("advice commit")
@@ -214,7 +217,6 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     tbl_tags, tbl_vals = build_table(builder.lookup_widths)
     tkeys_padded, fmap = _table_keys(tbl_tags, tbl_vals, usable, theta)
     a_raw, ap_raw, sp_raw = {}, {}, {}
-    ap_coeff, sp_coeff = {}, {}
     for l in LOOKUPS:
         tag_raw = pk.fixed_raw[f"tag_{l}"]
         a_raw[l] = _jit_compress(tag_raw, advice_raw[WIRE_COL[l]], theta_m)
@@ -225,8 +227,9 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
         pad = [_rand_fr(rng) for _ in range(n - usable)]
         ap_raw[l] = jnp.asarray(ctx.to_mont_np(ap_vals + pad))
         sp_raw[l] = jnp.asarray(ctx.to_mont_np(sp_vals + pad))
-        ap_coeff[l] = to_coeff(ap_raw[l])
-        sp_coeff[l] = to_coeff(sp_raw[l])
+    lk8 = to_coeff_batch([ap_raw[l] for l in LOOKUPS] + [sp_raw[l] for l in LOOKUPS])
+    ap_coeff = {l: lk8[i] for i, l in enumerate(LOOKUPS)}
+    sp_coeff = {l: lk8[4 + i] for i, l in enumerate(LOOKUPS)}
     lk_pts = commit_many(
         [c for l in LOOKUPS for c in (ap_coeff[l], sp_coeff[l])]
     )
@@ -245,29 +248,32 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
         omega_col.append(cur)
         cur = cur * domain.omega % FR.p
     omega_dev = jnp.asarray(ctx.to_mont_np(omega_col))
-    sigma_raw = [
-        _jit_evals(s, plan.tw) for s in pk.sigma_coeff
-    ]
-    def grand_product(num, den):
-        """Split kernel: partial products on device, the single total
-        inversion on host, random blinding rows appended (kernels.py)."""
-        num_a, pre, suf, total = _jit_gp_partials(num, den, active)
-        total_int = ctx.from_mont_np(np.asarray(jax.device_get(total))[None])[0]
-        if total_int == 0:
-            raise ValueError("grand product denominator vanished")
-        total_inv_m = jnp.asarray(ctx.to_mont_np([pow(total_int, -1, FR.p)]))[0]
-        blind = jnp.asarray(ctx.to_mont_np([_rand_fr(rng) for _ in range(n - usable - 1)]))
-        return _jit_gp_finish(num_a, pre, suf, total_inv_m, blind)
-
-    num, den = _jit_perm_fracs(
+    sigma_raw = _jit_evals_batch(jnp.stack(pk.sigma_coeff), plan.tw)
+    sigma_raw = [sigma_raw[c] for c in range(len(pk.sigma_coeff))]
+    # all 5 grand products (permutation + 4 lookups) batched: one partials
+    # launch, 5 host inversions, one finish launch, one batched iNTT
+    num_p, den_p = _jit_perm_fracs(
         advice_raw + [instance_raw], sigma_raw, omega_dev, beta_m, gamma_m, delta_ms
     )
-    z_perm_coeff = to_coeff(grand_product(num, den))
-
-    z_lookup_coeff = {}
+    nums, dens = [num_p], [den_p]
     for l in LOOKUPS:
         numl, denl = _jit_lookup_fracs(a_raw[l], s_raw, ap_raw[l], sp_raw[l], beta_m, gamma_m)
-        z_lookup_coeff[l] = to_coeff(grand_product(numl, denl))
+        nums.append(numl)
+        dens.append(denl)
+    num_a, pre, suf, totals = _jit_gp_partials_batch(
+        jnp.stack(nums), jnp.stack(dens), active
+    )
+    total_ints = ctx.from_mont_np(np.asarray(jax.device_get(totals)))
+    if any(t == 0 for t in total_ints):
+        raise ValueError("grand product denominator vanished")
+    total_inv_m = jnp.asarray(ctx.to_mont_np([pow(t, -1, FR.p) for t in total_ints]))
+    blind = jnp.asarray(
+        ctx.to_mont_np([_rand_fr(rng) for _ in range(5 * (n - usable - 1))])
+    ).reshape(5, n - usable - 1, L.NLIMB)
+    z5 = _jit_gp_finish_batch(num_a, pre, suf, total_inv_m, blind)
+    z5_coeff = _jit_coeff_batch(z5, plan.tw_inv, plan.n_inv)
+    z_perm_coeff = z5_coeff[0]
+    z_lookup_coeff = {l: z5_coeff[1 + i] for i, l in enumerate(LOOKUPS)}
     for pt in commit_many([z_perm_coeff] + [z_lookup_coeff[l] for l in LOOKUPS]):
         tr.write_point(pt)
     _phase("grand products")
@@ -283,12 +289,24 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
         ctx.to_mont_np([pow(y, n_exprs - 1 - i, FR.p) for i in range(n_exprs)])
     )
 
-    advice_ext = [to_ext(c) for c in advice_coeff]
-    instance_ext = to_ext(instance_coeff)
-    z_perm_ext = to_ext(z_perm_coeff)
-    z_l_ext = {l: to_ext(z_lookup_coeff[l]) for l in LOOKUPS}
-    ap_ext = {l: to_ext(ap_coeff[l]) for l in LOOKUPS}
-    sp_ext = {l: to_ext(sp_coeff[l]) for l in LOOKUPS}
+    # one batched extended-coset NTT for every opened witness polynomial
+    ext_stack = _jit_ext_batch(
+        jnp.stack(
+            advice_coeff
+            + [instance_coeff, z_perm_coeff]
+            + [z_lookup_coeff[l] for l in LOOKUPS]
+            + [ap_coeff[l] for l in LOOKUPS]
+            + [sp_coeff[l] for l in LOOKUPS]
+        ),
+        pk.zeta_powers, plan_ext.tw,
+    )
+    advice_ext = [ext_stack[c] for c in range(NUM_ADVICE)]
+    instance_ext = ext_stack[NUM_ADVICE]
+    z_perm_ext = ext_stack[NUM_ADVICE + 1]
+    off = NUM_ADVICE + 2
+    z_l_ext = {l: ext_stack[off + i] for i, l in enumerate(LOOKUPS)}
+    ap_ext = {l: ext_stack[off + 4 + i] for i, l in enumerate(LOOKUPS)}
+    sp_ext = {l: ext_stack[off + 8 + i] for i, l in enumerate(LOOKUPS)}
 
     h_coeff = _jit_quotient(
         advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext,
@@ -301,7 +319,7 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     # free the extended-domain arrays — the opening phases don't need them,
     # and at k=17 they hold ~1.5 GB of HBM
     del advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext
-    del a_raw, ap_raw, sp_raw, s_raw, num, den, omega_dev, sigma_raw
+    del a_raw, ap_raw, sp_raw, s_raw, num_a, pre, suf, omega_dev, sigma_raw, ext_stack
     h_pieces = [h_coeff[i * n : (i + 1) * n] for i in range(QUOTIENT_PIECES)]
     for pt in commit_many(h_pieces):
         tr.write_point(pt)
