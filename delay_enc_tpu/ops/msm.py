@@ -341,16 +341,42 @@ def _jit_plane_sums(opts, sel_chunks):
 
     opts_ll = [_pt_unpack(opts[o]) for o in range(16)]
 
+    TAIL_W = 64
+
     def chunk(s):
         x = _ll_select16(opts_ll, s)  # rows (C, n/2), uint16
         width = s.shape[-1]
-        while width > 1:
+        # unroll the wide levels (they carry ~99% of the additions) ...
+        while width > TAIL_W:
             h = width // 2
             lo = tuple([r[..., :h] for r in coord] for coord in x)
             hi = tuple([r[..., h:] for r in coord] for coord in x)
             x = _ll_complete_add(lo, hi)
             x = tuple(_u16rows(coord) for coord in x)  # halve stored bytes
             width = h
+        # ... then fold the narrow tail under ONE compiled fori body: pair
+        # adjacent lanes (prefix-compact), pad with identity — compile cost
+        # of log2(TAIL_W) more unrolled levels collapses to a single level
+        if width > 1:
+            one_rows = [int(v) for v in L.int_to_limbs_np((1 << 256) % P)]
+
+            def fold(_, rows):
+                lo = tuple([r[..., 0::2] for r in coord] for coord in rows)
+                hi = tuple([r[..., 1::2] for r in coord] for coord in rows)
+                summed = _ll_complete_add(lo, hi)
+                out = []
+                for c, coord in enumerate(summed):
+                    pad_rows = []
+                    for i, r in enumerate(coord):
+                        fill = one_rows[i] if c == 1 else 0
+                        pad = jnp.full(r.shape, fill, jnp.uint16)
+                        pad_rows.append(
+                            jnp.concatenate([r.astype(jnp.uint16), pad], axis=-1)
+                        )
+                    out.append(pad_rows)
+                return tuple(out)
+
+            x = jax.lax.fori_loop(0, width.bit_length() - 1, fold, x)
         return _pt_pack(tuple([r[..., 0] for r in coord] for coord in x))
 
     return jax.lax.map(chunk, sel_chunks)

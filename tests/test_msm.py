@@ -61,3 +61,39 @@ def test_fixed_base_batch_mul():
     out = jax.jit(M.fixed_base_batch_mul)(table, M.scalars_to_limbs(scalars))
     got = M.points_from_device(out)
     assert got == [G1.mul(G1_GEN, s) for s in scalars]
+
+
+def test_plane_sums_list_path_matches_host(monkeypatch):
+    """Exercise the TPU (limb-row + fori tail) plane-sums path on CPU: it
+    must agree with the host oracle MSM.  Runs eagerly (disable_jit) —
+    XLA:CPU takes minutes to compile the wide limb-row graphs, but eager
+    execution of the same trace validates the arithmetic in seconds."""
+    from delay_enc_tpu.ops import limbs as L
+
+    monkeypatch.setattr(L, "_backend_unrolls", lambda: True)
+    rng = np.random.default_rng(9)
+    n = 16
+    pts = _host_points(n, 9)
+    scalars = [FR.random(rng) for _ in range(n)]
+    with jax.disable_jit():
+        result = M.msm(M.points_to_device(pts), M.scalars_to_limbs(scalars))
+        got = M.points_from_device(np.asarray(result)[None])[0]
+    assert got == G1.msm(scalars, pts)
+
+
+def test_stockham_list_path_matches_fallback(monkeypatch):
+    """The limb-row Stockham stage (TPU branch) must equal the array/scan
+    fallback (CPU branch) bit-for-bit."""
+    from delay_enc_tpu.fields import FR as _FR
+    from delay_enc_tpu.ops import limbs as L
+    from delay_enc_tpu.ops.ntt import NTTPlan, stockham
+
+    rng = np.random.default_rng(10)
+    plan = NTTPlan.make(L.FR_CTX, 5)
+    a = L.to_device_mont(L.FR_CTX, [_FR.random(rng) for _ in range(32)])
+    monkeypatch.setattr(L, "_backend_unrolls", lambda: True)
+    with jax.disable_jit():
+        got = np.asarray(stockham(L.FR_CTX, a, plan.tw))
+    monkeypatch.setattr(L, "_backend_unrolls", lambda: False)
+    ref = np.asarray(stockham(L.FR_CTX, a, plan.tw))
+    assert (got == ref).all()
