@@ -35,11 +35,30 @@ class SRS:
         # MSM pair tables keyed by truncation k, shared across truncated
         # views (they depend only on the points — ops/msm.py design notes)
         self._pair_tables: dict = {}
+        self._cache_dir: str | None = None
 
     def pair_tables(self):
-        """Per-SRS MSM pair tables (built once, reused by every commit)."""
+        """Per-SRS MSM base-4 pair tables (built once, reused by every
+        commit; disk-cached alongside the SRS so later processes skip the
+        table-build kernels entirely)."""
         if self.k not in self._pair_tables:
-            self._pair_tables[self.k] = M._jit_pair_tables(self.g1_powers)
+            import numpy as _np
+
+            path = None
+            if self._cache_dir:
+                path = os.path.join(self._cache_dir, f"msmtab_bn254_k{self.k}.npy")
+            if path and os.path.exists(path):
+                import jax.numpy as jnp
+
+                self._pair_tables[self.k] = jnp.asarray(_np.load(path))
+            else:
+                tab = M._jit_pair_tables(self.g1_powers)
+                self._pair_tables[self.k] = tab
+                if path:
+                    try:
+                        _np.save(path, _np.asarray(jax.device_get(tab)))
+                    except Exception:
+                        pass
         return self._pair_tables[self.k]
 
     @staticmethod
@@ -49,7 +68,9 @@ class SRS:
             os.makedirs(cache_dir, exist_ok=True)
             cache = os.path.join(cache_dir, f"srs_bn254_k{k}.npz")
             if os.path.exists(cache):
-                return SRS.load(cache)
+                srs = SRS.load(cache)
+                srs._cache_dir = cache_dir
+                return srs
         if tau is None:
             tau = (secrets.randbits(300) % (FR.p - 1)) + 1
         n = 1 << k
@@ -65,6 +86,7 @@ class SRS:
         g1_powers.block_until_ready()
         tau_g2 = G2.mul(G2_GEN, tau)
         srs = SRS(k, g1_powers, tau_g2, G2_GEN)
+        srs._cache_dir = cache_dir
         del tau, powers
         if cache:
             srs.save(cache)
@@ -100,6 +122,7 @@ class SRS:
         assert k <= self.k
         s = SRS(k, self.g1_powers[: 1 << k], self.tau_g2, self.g2)
         s._pair_tables = self._pair_tables  # share across views
+        s._cache_dir = self._cache_dir
         return s
 
 
