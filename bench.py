@@ -15,17 +15,77 @@ Workloads
                                    over 2^16..2^20
 
 Usage: python bench.py [--workload W] [--k K] [--config cfg.json]
+                       [--budget SECONDS] [--repeats N]
 Artifacts (SRS, pk/vk) are cached under the config's srs_cache_dir
 (reference caches under benches/data, delay_enc.rs:39-54).
+
+Cold-start robustness (the round-2 driver bench timed out producing NO
+metric — never again):
+  * the JSON metric line is emitted immediately after the FIRST timed proof
+    and re-emitted (refined) after each repeat and after verification — a
+    consumer parsing the last JSON line always gets the best number so far;
+  * a wall-clock budget (--budget / BENCH_BUDGET_S, default 2100 s) gates
+    every optional phase (extra repeats, verification) so the process exits
+    with a parsable metric before any external timeout;
+  * the PJRT compile relay is probed with a tiny subprocess jit (with
+    retries) before committing to long compiles — the relay has gone down
+    for hours under heavy compile load (docs/ROADMAP.md).
 """
 
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+START_TIME = time.time()
+
+
+def _left(args) -> float:
+    return args.budget - (time.time() - START_TIME)
+
+
+def _emit(out: dict) -> None:
+    """Print the metric line NOW (stdout, flushed).  May be called several
+    times with progressively better numbers; consumers take the last line."""
+    print(json.dumps(out), flush=True)
+
+
+def probe_device(args) -> bool:
+    """Verify the device backend can compile+run a tiny jit, in a SUBPROCESS
+    (a relay outage hangs the call forever — a timeout needs process
+    isolation).  Retries while budget remains.  No-op on CPU."""
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return True
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(int(jax.jit(lambda v: (v * 2).sum())(jnp.arange(8))))"
+    )
+    attempt = 0
+    while _left(args) > 300:
+        attempt += 1
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=min(240, _left(args) - 60),
+                capture_output=True,
+            )
+            if r.returncode == 0 and b"56" in r.stdout:
+                print(f"# device probe ok (attempt {attempt}, {time.time()-t0:.0f}s)",
+                      file=sys.stderr, flush=True)
+                return True
+            msg = r.stderr.decode(errors="replace").strip().splitlines()
+            print(f"# device probe rc={r.returncode}: {msg[-1] if msg else ''}",
+                  file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"# device probe attempt {attempt} timed out "
+                  f"(relay down/cold?)", file=sys.stderr, flush=True)
+        if _left(args) > 360:
+            time.sleep(60)
+    return False
 
 
 BASELINES = {
@@ -114,45 +174,71 @@ def bench_prove(args, cfg):
     k = args.k or cfg.prover.k or max(
         min_k(builder), {"pose_enc": 11, "mod_pow": 16, "delay_enc": 16}[args.workload]
     )
-    print(f"# {args.workload}: rows={builder.rows} k={k} build={build_s:.2f}s",
-          file=sys.stderr)
+    print(f"# {args.workload}: rows={builder.rows} k={k} build={build_s:.2f}s "
+          f"budget={args.budget:.0f}s", file=sys.stderr, flush=True)
+    baseline = BASELINES.get((args.workload, k))
+
+    def result(prove_s, **extra):
+        out = {
+            "metric": f"{args.workload}_k{k}_prove_s",
+            "value": round(prove_s, 4),
+            "unit": "s",
+            "vs_baseline": round(baseline / prove_s, 3) if baseline else None,
+        }
+        out.update(extra)
+        return out
 
     t0 = time.time()
     srs = SRS.setup(k, cache_dir=cfg.prover.srs_cache_dir)
-    print(f"# srs setup {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"# srs setup {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
     pk, vk = get_keys(args.workload, builder, srs, k,
                       cfg.prover.key_cache_dir or cfg.prover.srs_cache_dir)
 
-    # warm-up (compiles cached after the first proof)
+    # warm-up (compiles cached after the first proof).  If the budget dies
+    # during the repeats, the warmup-inclusive number below is already out.
     t0 = time.time()
+    GLOBAL_METRICS.spans.clear()
     proof = create_proof(srs, pk, builder, np.random.default_rng(0))
-    print(f"# prove warmup {time.time()-t0:.1f}s", file=sys.stderr)
+    warmup_s = time.time() - t0
+    print(f"# prove warmup {warmup_s:.1f}s", file=sys.stderr, flush=True)
+    phases = {name: round(v, 4) for name, v in GLOBAL_METRICS.spans.items()}
+    _emit(result(warmup_s, warmup_inclusive=True, phases_s=phases))
 
     times = []
     for i in range(args.repeats):
+        need = 1.5 * (times[-1] if times else warmup_s / 4) + 30
+        if times and _left(args) < need:
+            print(f"# budget: stopping after {i} repeats", file=sys.stderr, flush=True)
+            break
         GLOBAL_METRICS.spans.clear()
         t0 = time.time()
         proof = create_proof(srs, pk, builder, np.random.default_rng(i + 1))
         times.append(time.time() - t0)
-    prove_s = min(times)
-    phases = {name: round(v, 4) for name, v in GLOBAL_METRICS.spans.items()}
+        phases = {name: round(v, 4) for name, v in GLOBAL_METRICS.spans.items()}
+        _emit(result(min(times), repeats=len(times), phases_s=phases))
+    prove_s = min(times) if times else warmup_s
 
-    t0 = time.time()
-    ok = verify_proof(srs, vk, proof)
-    verify_s = time.time() - t0
-    assert ok, "proof failed to verify"
-    print(f"# verify {verify_s:.2f}s ok; proof {len(proof)}B", file=sys.stderr)
+    verify_s = None
+    ok = None
+    if _left(args) > 20:
+        t0 = time.time()
+        ok = verify_proof(srs, vk, proof)
+        verify_s = time.time() - t0
+        assert ok, "proof failed to verify"
+        print(f"# verify {verify_s:.2f}s ok; proof {len(proof)}B",
+              file=sys.stderr, flush=True)
+    else:
+        print("# budget: skipping verification", file=sys.stderr, flush=True)
 
-    baseline = BASELINES.get((args.workload, k))
-    return {
-        "metric": f"{args.workload}_k{k}_prove_s",
-        "value": round(prove_s, 4),
-        "unit": "s",
-        "vs_baseline": round(baseline / prove_s, 3) if baseline else None,
-        "verify_s": round(verify_s, 4),
-        "proof_bytes": len(proof),
-        "phases_s": phases,
-    }
+    return result(
+        prove_s,
+        repeats=len(times),
+        warmup_s=round(warmup_s, 4),
+        verify_s=round(verify_s, 4) if verify_s is not None else None,
+        verified=ok,
+        proof_bytes=len(proof),
+        phases_s=phases,
+    )
 
 
 def bench_batch(args, cfg):
@@ -171,22 +257,31 @@ def bench_batch(args, cfg):
     create_proof(srs, pk, builders[0], np.random.default_rng(0))
     print(f"# prove warmup {time.time()-t0:.1f}s", file=sys.stderr)
 
+    baseline = BASELINES.get(("batch", k))
+
+    def result(done, total_s):
+        per_proof = total_s / done
+        return {
+            "metric": f"batch{B}_delay_enc_k{k}_proofs_per_s",
+            "value": round(done / total_s, 4),
+            "unit": "proofs/s",
+            "vs_baseline": round(baseline / per_proof, 3) if baseline else None,
+            "per_proof_s": round(per_proof, 4),
+            "proofs": done,
+        }
+
     t0 = time.time()
-    proofs = [
-        create_proof(srs, pk, b, np.random.default_rng(1 + i))
-        for i, b in enumerate(builders)
-    ]
+    proofs = []
+    for i, b in enumerate(builders):
+        proofs.append(create_proof(srs, pk, b, np.random.default_rng(1 + i)))
+        _emit(result(len(proofs), time.time() - t0))
+        if len(proofs) < B and _left(args) < 1.5 * (time.time() - t0) / len(proofs) + 30:
+            print(f"# budget: stopping after {len(proofs)} proofs",
+                  file=sys.stderr, flush=True)
+            break
     total_s = time.time() - t0
     assert all(verify_proof(srs, vk, p) for p in proofs), "batch proof failed"
-    baseline = BASELINES.get(("batch", k))
-    per_proof = total_s / B
-    return {
-        "metric": f"batch{B}_delay_enc_k{k}_proofs_per_s",
-        "value": round(B / total_s, 4),
-        "unit": "proofs/s",
-        "vs_baseline": round(baseline / per_proof, 3) if baseline else None,
-        "per_proof_s": round(per_proof, 4),
-    }
+    return result(len(proofs), total_s)
 
 
 def bench_msm(args, cfg):
@@ -202,11 +297,14 @@ def bench_msm(args, cfg):
     rng = np.random.default_rng(0)
     sweep = {}
     for k in range(16, k_max + 1, 2):
+        if sweep and _left(args) < 120:
+            print("# budget: stopping msm sweep", file=sys.stderr, flush=True)
+            break
         n = 1 << k
         sub = srs.truncated(k)
         tables = sub.pair_tables()
         scalars = M.scalars_to_limbs([FR.random(rng) for _ in range(n)])[None]
-        # warm-up + compile
+        # warm-up + compile (result is host affine — implicit full sync)
         M.msm_with_tables(tables, scalars)
         t0 = time.time()
         reps = 3
@@ -214,7 +312,10 @@ def bench_msm(args, cfg):
             res = M.msm_with_tables(tables, scalars)
         dt = (time.time() - t0) / reps
         sweep[f"2^{k}"] = {"s": round(dt, 4), "points_per_s": round(n / dt)}
-        print(f"# msm 2^{k}: {dt:.4f}s = {n/dt:,.0f} pts/s", file=sys.stderr)
+        print(f"# msm 2^{k}: {dt:.4f}s = {n/dt:,.0f} pts/s", file=sys.stderr, flush=True)
+        peak = max(v["points_per_s"] for v in sweep.values())
+        _emit({"metric": "msm_points_per_s_peak", "value": peak,
+               "unit": "points/s", "vs_baseline": None, "sweep": sweep})
     peak = max(v["points_per_s"] for v in sweep.values())
     return {
         "metric": "msm_points_per_s_peak",
@@ -239,19 +340,27 @@ def bench_ntt(args, cfg):
     k_max = args.k or 22
     f = jax.jit(lambda x, tws: stockham(L.FR_CTX, x, tws))
     for k in range(16, k_max + 1, 2):
+        if sweep and _left(args) < 120:
+            print("# budget: stopping ntt sweep", file=sys.stderr, flush=True)
+            break
         n = 1 << k
         plan = NTTPlan.make(L.FR_CTX, k)
         a = jnp.asarray(L.FR_CTX.to_mont_np([FR.random(rng) for _ in range(n)]))
         r = f(a, plan.tw)
-        r.block_until_ready()
+        np.asarray(jax.device_get(r[:1]))
         t0 = time.time()
         reps = 5
         for _ in range(reps):
             r = f(a, plan.tw)
-        r.block_until_ready()
+        # force a device->host transfer: block_until_ready under-reports on
+        # the axon transport (docs/PERF.md)
+        np.asarray(jax.device_get(r[:1]))
         dt = (time.time() - t0) / reps
         sweep[f"2^{k}"] = round(dt, 5)
-        print(f"# ntt 2^{k}: {dt*1000:.2f}ms", file=sys.stderr)
+        print(f"# ntt 2^{k}: {dt*1000:.2f}ms", file=sys.stderr, flush=True)
+        _emit({"metric": "ntt_2e20_s",
+               "value": sweep.get("2^20", list(sweep.values())[-1]),
+               "unit": "s", "vs_baseline": None, "sweep": sweep})
     return {
         "metric": "ntt_2e20_s",
         "value": sweep.get("2^20", list(sweep.values())[-1]),
@@ -270,7 +379,24 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--config", type=str, default=None,
                     help="JSON config file (delay_enc_tpu.utils.config.Config)")
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET_S", 2100)),
+                    help="wall-clock budget in seconds; optional phases are "
+                         "skipped so a metric line is always emitted in time")
     args = ap.parse_args()
+
+    # honor JAX_PLATFORMS even when a sitecustomize forces a plugin platform
+    # after env processing (jax.config.update beats it pre-backend-init)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    if not probe_device(args):
+        _emit({"metric": f"{args.workload}_unavailable", "value": None,
+               "unit": "s", "vs_baseline": None,
+               "error": "device backend unreachable (PJRT relay down?)"})
+        sys.exit(1)
 
     import delay_enc_tpu  # noqa: F401
     from delay_enc_tpu.utils.config import Config
@@ -286,7 +412,7 @@ def main():
         out = bench_msm(args, cfg)
     else:
         out = bench_ntt(args, cfg)
-    print(json.dumps(out))
+    _emit(out)
 
 
 if __name__ == "__main__":

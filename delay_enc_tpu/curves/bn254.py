@@ -119,10 +119,15 @@ class _Group:
         return acc
 
     def multi_scalar_mul(self, scalars, points):
-        """Fast host MSM for the verifier (G1 only): shared-doubling
-        (Straus) in Jacobian coordinates — one doubling chain for all
-        terms, one final inversion."""
+        """Fast host MSM for the verifier (G1 only): native C Straus
+        shared-doubling when the C library is available, else the same
+        algorithm in Python Jacobian coordinates."""
         assert not self.is_fq2, "fast path is G1-only"
+        from ..native.ec import msm_host
+
+        res = msm_host(scalars, points, FR.p)
+        if res != "unavailable":
+            return res
         pairs = [(s % FR.p, pt) for s, pt in zip(scalars, points)
                  if pt is not None and s % FR.p]
         if not pairs:

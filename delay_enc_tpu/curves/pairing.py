@@ -88,10 +88,87 @@ def miller_loop(pt_g1, pt_g2) -> Fq12:
     return f
 
 
+# ---- prepared pairings (fixed G2): precomputed line coefficients --------
+#
+# The verifier's two G2 points ([tau]2 and the generator) are fixed per
+# SRS, so every step's (lambda, lambda*x_T - y_T) pair — the P-independent
+# part of the line — is precomputed once.  Evaluation at P then costs two
+# Fq2-by-scalar scalings per line instead of G2 point arithmetic with an
+# Fq2 inversion per step (halo2curves G2Prepared equivalent).
+
+class G2Prepared:
+    __slots__ = ("coeffs",)
+
+    def __init__(self, pt_g2):
+        self.coeffs = []
+        t = pt_g2
+        bits = bin(ATE_LOOP_COUNT)[2:]
+        for bit in bits[1:]:
+            t = self._dbl(t)
+            if bit == "1":
+                t = self._add(t, pt_g2)
+        q1 = _frobenius_g2(pt_g2)
+        q2 = _frobenius_g2(q1)
+        q2 = (q2[0], -q2[1])
+        t = self._add(t, q1)
+        self._add(t, q2)
+
+    def _dbl(self, t):
+        x, y = t
+        lam = (3 * x.square()) * (2 * y).inv()
+        x3 = lam.square() - 2 * x
+        y3 = lam * (x - x3) - y
+        self.coeffs.append((lam, lam * x - y))
+        return (x3, y3)
+
+    def _add(self, t, q):
+        x1, y1 = t
+        x2, y2 = q
+        lam = (y2 - y1) * (x2 - x1).inv()
+        x3 = lam.square() - x1 - x2
+        y3 = lam * (x1 - x3) - y1
+        self.coeffs.append((lam, lam * x1 - y1))
+        return (x3, y3)
+
+
+def multi_miller_loop_prepared(pairs) -> Fq12:
+    """prod_i f_{6u+2,Q_i}(P_i) for [(P_i affine G1, G2Prepared)] — one
+    shared squaring chain, precomputed lines."""
+    pairs = [(p, q) for p, q in pairs if p is not None]
+    if not pairs:
+        return Fq12.one()
+    evals = []
+    for p, q in pairs:
+        xp, yp = p
+        c0 = Fq2(yp, 0)
+        evals.append((xp, c0, q.coeffs))
+    f = Fq12.one()
+    idx = 0
+    bits = bin(ATE_LOOP_COUNT)[2:]
+    for bit in bits[1:]:
+        f = f.square()
+        for xp, c0, coeffs in evals:
+            lam, c4 = coeffs[idx]
+            f = f.mul_by_034(c0, -(lam * xp), c4)
+        idx += 1
+        if bit == "1":
+            for xp, c0, coeffs in evals:
+                lam, c4 = coeffs[idx]
+                f = f.mul_by_034(c0, -(lam * xp), c4)
+            idx += 1
+    for _ in range(2):
+        for xp, c0, coeffs in evals:
+            lam, c4 = coeffs[idx]
+            f = f.mul_by_034(c0, -(lam * xp), c4)
+        idx += 1
+    return f
+
+
 def _exp_by_neg_u(f: Fq12) -> Fq12:
     """f^(-u) for elements of the cyclotomic subgroup (where inverse =
-    conjugate).  u is positive for BN254, so exponentiate then conjugate."""
-    return f.pow(BN_U).conjugate()
+    conjugate).  u is positive for BN254, so exponentiate (with cyclotomic
+    squarings) then conjugate."""
+    return f.cyclotomic_pow(BN_U).conjugate()
 
 
 def final_exponentiation(f: Fq12) -> Fq12:
@@ -152,5 +229,15 @@ def multi_pairing(pairs) -> Fq12:
 
 
 def pairing_check(pairs) -> bool:
-    """Returns True iff prod_i e(P_i, Q_i) == 1 (the KZG verification shape)."""
-    return multi_pairing(pairs).is_one()
+    """Returns True iff prod_i e(P_i, Q_i) == 1 (the KZG verification shape).
+    Each Q_i may be a raw G2 point or a G2Prepared (fixed-point fast path)."""
+    f = Fq12.one()
+    raw = []
+    for pt_g1, q in pairs:
+        if isinstance(q, G2Prepared):
+            raw.append((pt_g1, q))
+        else:
+            f = f * miller_loop(pt_g1, q)
+    if raw:
+        f = f * multi_miller_loop_prepared(raw)
+    return final_exponentiation(f).is_one()

@@ -163,6 +163,15 @@ class Fq6:
     def mul_by_fq2(self, x: Fq2) -> "Fq6":
         return Fq6(self.c0 * x, self.c1 * x, self.c2 * x)
 
+    def mul_by_01(self, b0: Fq2, b1: Fq2) -> "Fq6":
+        """Multiply by the sparse element b0 + b1 v (5 Fq2 muls)."""
+        a_a = self.c0 * b0
+        b_b = self.c1 * b1
+        t1 = ((self.c1 + self.c2) * b1 - b_b).mul_by_nonresidue() + a_a
+        t2 = (b0 + b1) * (self.c0 + self.c1) - a_a - b_b
+        t3 = (self.c0 + self.c2) * b0 - a_a + b_b
+        return Fq6(t1, t2, t3)
+
     def mul_by_nonresidue(self) -> "Fq6":
         """Multiply by v: (c0 + c1 v + c2 v^2) * v = c2*xi + c0 v + c1 v^2."""
         return Fq6(self.c2.mul_by_nonresidue(), self.c0, self.c1)
@@ -260,6 +269,49 @@ class Fq12:
 
     def mul_by_034(self, c0: Fq2, c3: Fq2, c4: Fq2) -> "Fq12":
         """Multiplication by a sparse element c0 + (c3 + c4 v) w
-        (the shape of pairing line evaluations on the D-twist)."""
-        op = Fq12(Fq6(c0, Fq2.zero(), Fq2.zero()), Fq6(c3, c4, Fq2.zero()))
-        return self * op
+        (the shape of pairing line evaluations on the D-twist).  Dedicated
+        sparse schedule (~13 Fq2 muls vs 18 for a full Fq12 multiply)."""
+        a = self.c0
+        t0 = Fq6(a.c0 * c0, a.c1 * c0, a.c2 * c0)
+        t1 = self.c1.mul_by_01(c3, c4)
+        o = c0 + c3
+        c1_out = (self.c1 + self.c0).mul_by_01(o, c4) - t0 - t1
+        c0_out = t1.mul_by_nonresidue() + t0
+        return Fq12(c0_out, c1_out)
+
+    def cyclotomic_square(self) -> "Fq12":
+        """Granger-Scott squaring for elements of the cyclotomic subgroup
+        (valid after the easy part of the final exponentiation) — ~9 Fq2
+        squares vs 18 Fq2 muls for a generic square."""
+        z0, z4, z3 = self.c0.c0, self.c0.c1, self.c0.c2
+        z2, z1, z5 = self.c1.c0, self.c1.c1, self.c1.c2
+
+        def fp4_sq(a: Fq2, b: Fq2):
+            t0 = a.square()
+            t1 = b.square()
+            return t1.mul_by_nonresidue() + t0, (a + b).square() - t0 - t1
+
+        t0, t1 = fp4_sq(z0, z1)
+        z0 = (t0 - z0) + (t0 - z0) + t0
+        z1 = (t1 + z1) + (t1 + z1) + t1
+        t0, t1 = fp4_sq(z2, z3)
+        t2, t3 = fp4_sq(z4, z5)
+        z4 = (t0 - z4) + (t0 - z4) + t0
+        z5 = (t1 + z5) + (t1 + z5) + t1
+        t0 = t3.mul_by_nonresidue()
+        z2 = (t0 + z2) + (t0 + z2) + t0
+        z3 = (t2 - z3) + (t2 - z3) + t2
+        return Fq12(Fq6(z0, z4, z3), Fq6(z2, z1, z5))
+
+    def cyclotomic_pow(self, e: int) -> "Fq12":
+        """self^e using cyclotomic squarings (self must be in the
+        cyclotomic subgroup)."""
+        r = Fq12.one()
+        started = False
+        for bit in bin(e)[2:]:
+            if started:
+                r = r.cyclotomic_square()
+            if bit == "1":
+                r = self if not started else r * self
+                started = True
+        return r if started else Fq12.one()

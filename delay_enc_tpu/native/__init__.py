@@ -1,10 +1,11 @@
 """Native (C) runtime components.
 
-`limbops` — host-side Montgomery limb conversion, compiled on first import
-with the system C compiler (cc -O2 -shared -fPIC) and loaded via ctypes.
-Falls back silently to the pure-Python implementations in ops.limbs when no
-compiler is available (the API surface in ops.limbs is unchanged either
-way).
+`limbops` — host-side Montgomery limb conversion; `ecops` — host-side BN254
+G1 point kernels (MSM plane folds for the prover, multi-scalar mul for the
+verifier).  Both are compiled on first import with the system C compiler
+(cc -O2 -shared -fPIC) and loaded via ctypes, falling back silently to the
+pure-Python implementations when no compiler is available (the Python API
+surfaces are unchanged either way).
 """
 
 from __future__ import annotations
@@ -12,19 +13,18 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import tempfile
 
 _HERE = os.path.dirname(__file__)
-_SO = os.path.join(_HERE, "_limbops.so")
-_SRC = os.path.join(_HERE, "limbops.c")
 
 _lib = None
+_eclib = None
+_ECLIB_TRIED = False
 
 
-def _build() -> bool:
+def _build(src: str, so: str) -> bool:
     try:
         subprocess.run(
-            ["cc", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+            ["cc", "-O2", "-shared", "-fPIC", "-o", so, src],
             check=True,
             capture_output=True,
         )
@@ -33,17 +33,25 @@ def _build() -> bool:
         return False
 
 
+def _load(name: str):
+    src = os.path.join(_HERE, f"{name}.c")
+    so = os.path.join(_HERE, f"_{name}.so")
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        if not _build(src, so):
+            return None
+    try:
+        return ctypes.CDLL(so)
+    except OSError:
+        return None
+
+
 def get_lib():
-    """ctypes handle to the native library, or None if unavailable."""
+    """ctypes handle to the limb-conversion library, or None."""
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        if not _build():
-            return None
-    try:
-        lib = ctypes.CDLL(_SO)
-    except OSError:
+    lib = _load("limbops")
+    if lib is None:
         return None
     lib.from_mont.argtypes = [
         ctypes.c_void_p,
@@ -62,3 +70,26 @@ def get_lib():
     ]
     _lib = lib
     return _lib
+
+
+def get_eclib():
+    """ctypes handle to the G1 point-kernel library, or None."""
+    global _eclib, _ECLIB_TRIED
+    if _eclib is not None or _ECLIB_TRIED:
+        return _eclib
+    _ECLIB_TRIED = True
+    lib = _load("ecops")
+    if lib is None:
+        return None
+    lib.g1_fold_planes_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.g1_msm.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+    ]
+    lib.g1_msm.restype = ctypes.c_int
+    _eclib = lib
+    return _eclib

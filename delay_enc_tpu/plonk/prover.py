@@ -107,7 +107,21 @@ def _permuted_columns(tag_col, adv_col, usable: int, tkeys_padded, fmap, wire):
     rows = len(tag_col)
     keys = np.zeros(usable, dtype=np.uint32)
     t = np.fromiter((int(x) for x in tag_col), dtype=np.uint32, count=rows)
-    a = np.fromiter((int(x) & 0xFFFF for x in adv_col[:rows]), dtype=np.uint32, count=rows)
+    # tagged rows must hold sub-2^16 values (cs/range.py table widths); a
+    # wider value here is a buggy witness/gadget — raise prover-side rather
+    # than silently truncating into a possibly-valid key (and an invalid
+    # proof that only fails at verify time)
+    def masked():
+        for i, (tv, av) in enumerate(zip(tag_col, adv_col[:rows])):
+            av = int(av)
+            if av >= (1 << 16) and int(tv) != 0:
+                raise ValueError(
+                    f"lookup failure: tagged advice value >= 2^16 at row {i} "
+                    f"(wire {wire}, tag={int(tv)}) — buggy witness/gadget"
+                )
+            yield av & 0xFFFF
+
+    a = np.fromiter(masked(), dtype=np.uint32, count=rows)
     keys[:rows] = np.where(t != 0, (t << 16) | a, 0)
 
     ks = np.sort(keys)

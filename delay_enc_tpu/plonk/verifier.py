@@ -227,6 +227,7 @@ def _verify(srs, vk: VerifyingKey, proof: bytes, instances) -> bool:
         [pow(u, s, P) for s in range(len(w_points))], w_points
     )
 
+    tau_prep, g2_prep = srs.prepared_pair()
     return pairing_check(
-        [(w_comb, srs.tau_g2), (G1.neg(p_comb), srs.g2)]
+        [(w_comb, tau_prep), (G1.neg(p_comb), g2_prep)]
     )

@@ -5,12 +5,12 @@ multiply); XLA's first compile of such graphs is expensive.  A persistent
 compilation cache makes this a one-time cost per (graph, shape) across
 processes — essential for both the test suite and the prover CLI.
 
-The cache is keyed per backend platform: XLA:CPU emits AOT code specialized
-to the *compiling* machine's CPU features, so a cache written on one host is
-useless (or harmful — cpu_aot_loader feature-mismatch errors) on another.
-TPU executables are portable across same-generation chips, so TPU entries
-share one directory while CPU entries go to a per-CPU-feature-set directory
-under the user cache dir (never the repo).
+The cache is TPU-only: TPU executables are portable across same-generation
+chips, so they share one repo-local directory.  The CPU backend runs with NO
+persistent cache — its scan-form limb kernels compile in seconds, XLA:CPU
+AOT entries are locked to the compiling machine's CPU features
+(cpu_aot_loader mismatch errors on any other host), and large cache writes
+have crashed the zstd compressor under memory pressure.
 """
 
 from __future__ import annotations
@@ -18,18 +18,6 @@ from __future__ import annotations
 import os
 
 _CONFIGURED = False
-
-
-def _cpu_cache_dir() -> str:
-    """Per-machine CPU cache location (outside the repo)."""
-    import hashlib
-    import platform
-
-    tag = hashlib.blake2b(
-        f"{platform.machine()}:{platform.processor()}".encode(), digest_size=8
-    ).hexdigest()
-    base = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
-    return os.path.join(base, "delay_enc_tpu", f"xla_cpu_{tag}")
 
 
 def configure_jax(cache_dir: str | None = None) -> None:

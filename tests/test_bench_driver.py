@@ -32,4 +32,4 @@ def test_config_roundtrip(tmp_path):
 
 def test_baselines_cover_wired_workloads():
     for key in (("delay_enc", 16), ("delay_enc", 17), ("mod_pow", 17), ("pose_enc", 11)):
-        assert key in bench.BASELINES or key == ("mod_pow", 17)
+        assert key in bench.BASELINES, key

@@ -90,3 +90,54 @@ def test_fast_vs_direct_final_exponentiation():
     c = 2 * u * (6 * u * u + 3 * u + 1)
     assert fast == direct.pow(c)
     assert fast.is_one() == direct.is_one() == False  # noqa: E712
+
+
+def test_prepared_miller_matches_unprepared():
+    """G2Prepared lines + shared-squaring multi loop == plain miller loops."""
+    from delay_enc_tpu.curves.pairing import (
+        G2Prepared, miller_loop, multi_miller_loop_prepared,
+    )
+
+    q1 = G2.mul(G2_GEN, 98765)
+    q2 = G2.mul(G2_GEN, 4242)
+    p1 = G1.mul(G1_GEN, 31337)
+    p2 = G1.mul(G1_GEN, 777)
+    plain = miller_loop(p1, q1) * miller_loop(p2, q2)
+    prepped = multi_miller_loop_prepared(
+        [(p1, G2Prepared(q1)), (p2, G2Prepared(q2))]
+    )
+    assert plain == prepped
+
+
+def test_pairing_check_accepts_prepared():
+    from delay_enc_tpu.curves.pairing import G2Prepared
+
+    a = 9999
+    ok = [
+        (G1.mul(G1_GEN, a), G2Prepared(G2_GEN)),
+        (G1.neg(G1_GEN), G2Prepared(G2.mul(G2_GEN, a))),
+    ]
+    assert pairing_check(ok)
+    bad = [
+        (G1.mul(G1_GEN, a + 1), G2Prepared(G2_GEN)),
+        (G1.neg(G1_GEN), G2Prepared(G2.mul(G2_GEN, a))),
+    ]
+    assert not pairing_check(bad)
+
+
+def test_cyclotomic_square_matches_generic():
+    """cyclotomic_square == square on cyclotomic-subgroup elements."""
+    f = pairing(G1.mul(G1_GEN, 5), G2.mul(G2_GEN, 31))
+    g = f
+    for _ in range(4):
+        assert g.cyclotomic_square() == g.square()
+        g = g.square() * f
+
+
+def test_mul_by_034_matches_full_mul():
+    from delay_enc_tpu.fields.bn254 import Fq2, Fq6
+
+    f = pairing(G1.mul(G1_GEN, 3), G2.mul(G2_GEN, 17))
+    c0, c3, c4 = Fq2(123, 456), Fq2(789, 1011), Fq2(1213, 1415)
+    sparse = Fq12(Fq6(c0, Fq2.zero(), Fq2.zero()), Fq6(c3, c4, Fq2.zero()))
+    assert f.mul_by_034(c0, c3, c4) == f * sparse
