@@ -242,8 +242,12 @@ def bench_prove(args, cfg):
 
 
 def bench_batch(args, cfg):
-    """B delay_enc proofs sharing one pk and warm kernels (DP throughput)."""
+    """B delay_enc proofs through the DP-batched pipeline (one leading
+    instance axis through every device phase, plonk/batch_prover.py;
+    BASELINE config 5).  --serial falls back to B sequential create_proof
+    calls sharing one pk and warm kernels."""
     from delay_enc_tpu.plonk import SRS, create_proof, verify_proof
+    from delay_enc_tpu.plonk.batch_prover import create_proofs_batched
     from delay_enc_tpu.plonk.keygen import min_k
 
     B = args.batch
@@ -252,12 +256,32 @@ def bench_batch(args, cfg):
     srs = SRS.setup(k, cache_dir=cfg.prover.srs_cache_dir)
     pk, vk = get_keys("delay_enc", builders[0], srs, k,
                       cfg.prover.key_cache_dir or cfg.prover.srs_cache_dir)
+    baseline = BASELINES.get(("batch", k))
+
+    if not args.serial:
+        # warm-up (compile the batched shapes), then timed batched runs
+        t0 = time.time()
+        proofs = create_proofs_batched(srs, pk, builders, np.random.default_rng(0))
+        warm = time.time() - t0
+        print(f"# batched warmup {warm:.1f}s", file=sys.stderr, flush=True)
+        _emit({"metric": f"batch{B}_delay_enc_k{k}_proofs_per_s",
+               "value": round(B / warm, 4), "unit": "proofs/s",
+               "vs_baseline": round(baseline / (warm / B), 3) if baseline else None,
+               "per_proof_s": round(warm / B, 4), "warmup_inclusive": True})
+        t0 = time.time()
+        proofs = create_proofs_batched(srs, pk, builders, np.random.default_rng(1))
+        total_s = time.time() - t0
+        assert all(verify_proof(srs, vk, p) for p in proofs), "batch proof failed"
+        per_proof = total_s / B
+        return {"metric": f"batch{B}_delay_enc_k{k}_proofs_per_s",
+                "value": round(B / total_s, 4), "unit": "proofs/s",
+                "vs_baseline": round(baseline / per_proof, 3) if baseline else None,
+                "per_proof_s": round(per_proof, 4), "proofs": B}
+
     # warm-up on instance 0
     t0 = time.time()
     create_proof(srs, pk, builders[0], np.random.default_rng(0))
     print(f"# prove warmup {time.time()-t0:.1f}s", file=sys.stderr)
-
-    baseline = BASELINES.get(("batch", k))
 
     def result(done, total_s):
         per_proof = total_s / done
@@ -377,6 +401,9 @@ def main():
     ap.add_argument("--k", type=int, default=None)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--serial", action="store_true",
+                    help="batch workload: B sequential proofs instead of the "
+                         "DP-batched pipeline")
     ap.add_argument("--config", type=str, default=None,
                     help="JSON config file (delay_enc_tpu.utils.config.Config)")
     ap.add_argument("--budget", type=float,

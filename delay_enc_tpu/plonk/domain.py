@@ -21,6 +21,10 @@ MAX_DEGREE = 8  # extended domain multiplier (next pow2 >= max constraint deg)
 EXT_LOG = 3  # log2(MAX_DEGREE)
 QUOTIENT_PIECES = 7
 BLINDING_ROWS = 6
+# From this k on, the quotient is built on MAX_DEGREE separate size-n
+# cosets instead of one fused 8n domain (halo2's strategy): peak HBM for
+# the quotient phase drops ~8x, the enabler for k=18/19 on a 16 GB chip.
+SPLIT_QUOTIENT_K = 18
 
 
 @dataclass
@@ -62,6 +66,12 @@ class Domain:
         """Coset generator for the extended domain (any non-root works; use
         the field generator)."""
         return FR.generator
+
+    def coset_shift(self, j: int) -> int:
+        """Shift of the j-th size-n coset in split-quotient mode: the union
+        of zeta*g^j*H over j (g = omega_ext) is the extended coset zeta*H_ext
+        with coset j's element i at extended index MAX_DEGREE*i + j."""
+        return self.zeta * pow(self.omega_ext, j, FR.p) % FR.p
 
     @cached_property
     def plan(self) -> NTTPlan:

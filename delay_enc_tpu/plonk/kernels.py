@@ -145,12 +145,18 @@ def _rot(ext, steps):
     return jnp.roll(ext, -MAX_DEGREE * steps, axis=0)
 
 
-@jax.jit
-def _jit_quotient(advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext,
-                  fe, sigma_ext, masks, chals, delta_ms, zh_inv_ext,
-                  zeta_inv_powers, y_pows_rev, tws_inv_ext, n_ext_inv):
-    """masks = (l0_ext, l_last_ext, l_blind_ext, x_ext);
-    chals = (theta_m, beta_m, gamma_m); y_pows_rev[i] = y^(n_exprs-1-i) mont.
+def _quotient_expr(advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext,
+                   fe, sigma_ext, masks, chals, delta_ms, y_pows_rev,
+                   rot_step=MAX_DEGREE):
+    """The y-folded constraint expression evaluated pointwise on a domain.
+
+    rot_step is the index distance of "the next row" on that domain: the
+    fused 8n extended coset interleaves the row domain MAX_DEGREE times
+    (rot_step=8), while a single size-n coset (split-quotient mode for
+    large k) has rot_step=1.
+
+    masks = (l0, l_last, l_blind, x) evals on the domain;
+    chals = (theta_m, beta_m, gamma_m); y_pows_rev[i] = y^(n_exprs-1-i).
 
     Every independent group of field multiplies is stacked into one batched
     mont_mul call (the limb chains are wide unrolled graphs; batching cuts
@@ -173,7 +179,8 @@ def _jit_quotient(advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext,
     gate_terms = mul(
         jnp.stack([fe["q_a"], fe["q_b"], fe["q_c"], fe["q_d"], fe["q_e"],
                    fe["q_mul_ab"], fe["q_mul_cd"], fe["q_e_next"]]),
-        jnp.stack([a_e, b_e, c_e, d_e, e_e, prods[0], prods[1], _rot(e_e, 1)]),
+        jnp.stack([a_e, b_e, c_e, d_e, e_e, prods[0], prods[1],
+                   jnp.roll(e_e, -rot_step, axis=0)]),
     )
     gate = addf(_tree_sum(gate_terms), fe["q_constant"])
 
@@ -189,7 +196,8 @@ def _jit_quotient(advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext,
     right_f = addf(addf(perm_cols, bdx), gamma_b6)
     lprod = _tree_mul(left_f)
     rprod = _tree_mul(right_f)
-    lr = mul(jnp.stack([_rot(z_perm_ext, 1), z_perm_ext]), jnp.stack([lprod, rprod]))
+    lr = mul(jnp.stack([jnp.roll(z_perm_ext, -rot_step, axis=0), z_perm_ext]),
+             jnp.stack([lprod, rprod]))
     e_perm_a = mul(l0_ext, L.sub(CTX, one, z_perm_ext))
     e_perm_b = mul(l_last_ext, L.sub(CTX, mul(z_perm_ext, z_perm_ext), z_perm_ext))
     e_perm_c = mul(mask, L.sub(CTX, lr[0], lr[1]))
@@ -205,7 +213,7 @@ def _jit_quotient(advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext,
                              mul(tag_st, adv_st)))
     beta_b = jnp.broadcast_to(beta_m, ap_st.shape)
     gamma_b = jnp.broadcast_to(gamma_m, ap_st.shape)
-    lhs = mul(jnp.roll(zl_st, -MAX_DEGREE, axis=1),
+    lhs = mul(jnp.roll(zl_st, -rot_step, axis=1),
               mul(addf(ap_st, beta_b), addf(sp_st, gamma_b)))
     rhs = mul(zl_st, mul(addf(a_exp, beta_b),
                          addf(jnp.broadcast_to(s_ext, ap_st.shape), gamma_b)))
@@ -217,7 +225,7 @@ def _jit_quotient(advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext,
     lk_b = mul(ll_b, L.sub(CTX, mul(zl_st, zl_st), zl_st))
     lk_c = mul(mask_b, L.sub(CTX, lhs, rhs))
     lk_d = mul(l0_b, ap_m_sp)
-    lk_e = mul(mask_b, mul(ap_m_sp, L.sub(CTX, ap_st, jnp.roll(ap_st, MAX_DEGREE, axis=1))))
+    lk_e = mul(mask_b, mul(ap_m_sp, L.sub(CTX, ap_st, jnp.roll(ap_st, rot_step, axis=1))))
 
     # y-fold (same expression order as the verifier): gate, 3 perm terms,
     # then per lookup l: [l0(1-z), l_last(z^2-z), mask(lhs-rhs), l0(ap-sp),
@@ -235,8 +243,56 @@ def _jit_quotient(advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext,
         w = mul(y_pows_rev[off : off + CH, None, :], sub)
         part = _tree_sum(w)
         total = part if total is None else addf(total, part)
+    return total
 
-    h_ext = mul(total, zh_inv_ext)
+
+@jax.jit
+def _jit_quotient(advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext,
+                  fe, sigma_ext, masks, chals, delta_ms, zh_inv_ext,
+                  zeta_inv_powers, y_pows_rev, tws_inv_ext, n_ext_inv):
+    """Fused-extended-domain quotient (k < SPLIT_QUOTIENT_K): evaluate the
+    folded expression on the 8n coset, divide by Z_H, iNTT back, unscale."""
+    total = _quotient_expr(advice_ext, instance_ext, z_perm_ext, z_l_ext,
+                           ap_ext, sp_ext, fe, sigma_ext, masks, chals,
+                           delta_ms, y_pows_rev, rot_step=MAX_DEGREE)
+    h_ext = L.mont_mul(CTX, total, zh_inv_ext)
+    h_coeff = _stockham(CTX, h_ext, tws_inv_ext)
+    h_coeff = L.mont_mul(CTX, h_coeff, n_ext_inv[None, :])
+    return L.mont_mul(CTX, h_coeff, zeta_inv_powers)
+
+
+@jax.jit
+def _jit_quotient_coset(advice_c, instance_c, z_perm_c, z_l_c, ap_c, sp_c,
+                        fe_c, sigma_c, masks_c, chals, delta_ms, zh_inv_m,
+                        y_pows_rev):
+    """Split-quotient mode: the folded expression divided by Z_H on ONE
+    size-n coset zeta*g^j*H (halo2's separate-coset strategy; peak HBM
+    drops MAX_DEGREE-fold vs the fused 8n domain — the enabler for
+    k >= 18 on a 16 GB chip).  Z_H = X^n - 1 is CONSTANT on a coset
+    ((zeta g^j)^n omega^(ni) - 1 = (zeta g^j)^n - 1), so zh_inv_m is a
+    (1,16) scalar.  Next-row rotation within a coset is index+1."""
+    total = _quotient_expr(advice_c, instance_c, z_perm_c, z_l_c, ap_c, sp_c,
+                           fe_c, sigma_c, masks_c, chals, delta_ms,
+                           y_pows_rev, rot_step=1)
+    return L.mont_mul(CTX, total, zh_inv_m)
+
+
+@jax.jit
+def _jit_coset_evals(coeff_stack, shift_powers, tws):
+    """(m, n, 16) coefficient stack -> evals on the coset shift*H: scale
+    coefficient i by shift^i, then a batched size-n NTT."""
+    scaled = L.mont_mul(CTX, coeff_stack, shift_powers[None])
+    return jax.vmap(lambda c: _stockham(CTX, c, tws))(scaled)
+
+
+@jax.jit
+def _jit_interleave_intt(h_cosets, tws_inv_ext, n_ext_inv, zeta_inv_powers):
+    """(MAX_DEGREE, n, 16) per-coset h evals -> h coefficients.  Coset j's
+    element i lives at extended-domain index MAX_DEGREE*i + j (g^(8i+j) =
+    omega^i g^j), so the union of the cosets IS the extended coset,
+    interleaved; one 8n iNTT then recovers the coefficients."""
+    d, n, _ = h_cosets.shape
+    h_ext = jnp.swapaxes(h_cosets, 0, 1).reshape(d * n, L.NLIMB)
     h_coeff = _stockham(CTX, h_ext, tws_inv_ext)
     h_coeff = L.mont_mul(CTX, h_coeff, n_ext_inv[None, :])
     return L.mont_mul(CTX, h_coeff, zeta_inv_powers)

@@ -55,17 +55,23 @@ class ProvingKey:
     # device arrays, all (n,16) mont unless noted
     fixed_raw: dict
     fixed_coeff: dict
-    fixed_ext: dict  # (n_ext,16)
+    fixed_ext: dict | None  # (n_ext,16); None in split-quotient mode
     sigma_coeff: list
-    sigma_ext: list
-    l0_ext: jnp.ndarray
-    l_last_ext: jnp.ndarray
-    l_blind_ext: jnp.ndarray
-    x_ext: jnp.ndarray  # evals of the identity poly X on the extended coset
-    zeta_powers: jnp.ndarray  # (n_ext,16) coset scale
+    sigma_ext: list | None
+    l0_ext: jnp.ndarray | None
+    l_last_ext: jnp.ndarray | None
+    l_blind_ext: jnp.ndarray | None
+    x_ext: jnp.ndarray | None  # identity poly X on the extended coset
+    zeta_powers: jnp.ndarray | None  # (n_ext,16) coset scale
     zeta_inv_powers: jnp.ndarray
-    zh_inv_ext: jnp.ndarray  # (n_ext,16) 1/(X^n - 1) on the extended coset
+    zh_inv_ext: jnp.ndarray | None  # (n_ext,16) 1/(X^n-1) on the ext coset
     delta_powers: list  # host ints delta^0..delta^4
+    # split-quotient mode (k >= SPLIT_QUOTIENT_K): per-coset evaluation
+    # replaces the *_ext arrays; only the coefficient forms are stored
+    split: bool = False
+    l0_coeff: jnp.ndarray | None = None
+    l_last_coeff: jnp.ndarray | None = None
+    l_blind_coeff: jnp.ndarray | None = None
 
 
 def _to_coeff_and_ext(domain: Domain, col_mont: jnp.ndarray):
@@ -106,25 +112,69 @@ def _zeta_inv_powers(domain: Domain) -> jnp.ndarray:
     return _zeta_cache[key]
 
 
-def transcript_repr(k: int, fixed_comms: dict, sigma_comms: list) -> int:
+def _pinned_vk_string(domain, fixed_comms: dict, sigma_comms: list) -> str:
+    """The pinned verification-key description hashed into the transcript,
+    following the field order and content of halo2's
+    `PinnedVerificationKey` Debug output (halo2_proofs plonk.rs —
+    base_modulus, scalar_modulus, domain {k, extended_k, omega},
+    constraint-system summary, fixed commitments as affine coordinate
+    pairs, permutation commitments).
+
+    Byte-level caveat (documented residual divergence, README):
+    halo2 serializes the cs via Rust `Debug` of its `Expression` trees for
+    the halo2wrong `MainGate`; reproducing those bytes requires the exact
+    halo2_proofs source to transcribe, which is not available in this
+    environment (no vendored dependency sources, no network, no Rust
+    toolchain to generate a fixture).  The constraint-system summary here
+    carries the same *content* (column counts, query sets, gate identity,
+    lookup arguments) over this framework's representation of the identical
+    circuit."""
+    from ..curves.bn254 import g1_to_bytes  # noqa: F401 (compressed fallback)
+    from ..fields.bn254 import FQ
+
+    def fe(v: int) -> str:
+        return f"0x{v:064x}"
+
+    def pt(p) -> str:
+        if p is None:
+            return "(0x0, 0x0)"
+        return f"({fe(p[0])}, {fe(p[1])})"
+
+    parts = [
+        "PinnedVerificationKey { base_modulus: \"", fe(FQ.p),
+        "\", scalar_modulus: \"", fe(FR.p),
+        "\", domain: PinnedEvaluationDomain { k: ", str(domain.k),
+        ", extended_k: ", str(domain.k_ext),
+        ", omega: ", fe(domain.omega),
+        " }, cs: PinnedConstraintSystem { num_fixed_columns: ",
+        str(len(ALL_FIXED)),
+        ", num_advice_columns: ", str(NUM_ADVICE),
+        ", num_instance_columns: 1, num_selectors: 0",
+        ", gate: maingate5(q_a*a + q_b*b + q_c*c + q_d*d + q_e*e",
+        " + q_mul_ab*a*b + q_mul_cd*c*d + q_e_next*e_next + q_constant)",
+        ", lookups: [a, b, c, d] in (table_tag, table_value)",
+        ", permutation: Argument { columns: [a, b, c, d, e, instance] } }",
+        ", fixed_commitments: [",
+        ", ".join(pt(fixed_comms[name]) for name in ALL_FIXED),
+        "], permutation: VerifyingKey { commitments: [",
+        ", ".join(pt(p) for p in sigma_comms),
+        "] }",
+        " }",
+    ]
+    return "".join(parts)
+
+
+def transcript_repr(domain, fixed_comms: dict, sigma_comms: list) -> int:
     """The vk's transcript representative, using halo2's exact hashing
     scheme (`keygen_vk`, halo2_proofs plonk/keygen.rs): blake2b-512 with
     personalization ``Halo2-Verify-Key`` over ``len(s) as u64 LE || s``
     where s is the pinned verification-key string, reduced into Fr via
-    from_bytes_wide.  The *scheme* is bit-exact to halo2; the pinned string
-    itself describes this framework's constraint system (documented
-    divergence — see plonk/transcript.py)."""
+    from_bytes_wide.  The hashing *scheme* is bit-exact to halo2; see
+    `_pinned_vk_string` for the pinned string's content parity and the
+    documented byte-level residual."""
     import hashlib
 
-    from ..curves.bn254 import g1_to_bytes
-
-    parts = [f"PinnedVerificationKey{{k:{k},gate:maingate5/q_e_next,lookups:4"]
-    for name in ALL_FIXED:
-        parts.append(f",{name}:{g1_to_bytes(fixed_comms[name]).hex()}")
-    for i, pt in enumerate(sigma_comms):
-        parts.append(f",sigma{i}:{g1_to_bytes(pt).hex()}")
-    parts.append("}")
-    s = "".join(parts).encode()
+    s = _pinned_vk_string(domain, fixed_comms, sigma_comms).encode()
     h = hashlib.blake2b(digest_size=64, person=b"Halo2-Verify-Key")
     h.update(len(s).to_bytes(8, "little"))
     h.update(s)
@@ -140,27 +190,34 @@ def min_k(builder: Builder) -> int:
     return k
 
 
-def keygen(builder: Builder, srs, k: int | None = None):
+def keygen(builder: Builder, srs, k: int | None = None, split: bool | None = None):
     """Compile the circuit structure; returns (pk, vk).
 
     The builder must have been produced by the circuit's build() — keygen
     uses only its *structure* (fixed columns, copies, lookup widths), never
     the witness values, so any valid instance works (halo2 keygen similarly
-    runs synthesize, delay_enc.rs:84-115)."""
+    runs synthesize, delay_enc.rs:84-115).
+
+    split selects the split-quotient (per-coset) prover mode; defaults to
+    k >= SPLIT_QUOTIENT_K (the 8n fused extended domain would not fit HBM)."""
     from .kzg import commit
     from ..ops import msm as M
+    from .domain import SPLIT_QUOTIENT_K
 
     assert builder.field.p == FR.p, "proving backend is BN254-Fr only"
     ctx = L.FR_CTX
     if k is None:
         k = min_k(builder)
+    if split is None:
+        split = k >= SPLIT_QUOTIENT_K
     domain = Domain(k)
     n = domain.n
     # materialize NTT plans and coset-power tables eagerly — constructing
     # them lazily inside a jit trace would cache tracer-backed tables
     # (UnexpectedTracerError)
     domain.plan, domain.plan_ext  # noqa: B018
-    _zeta_powers(domain)
+    if not split:
+        _zeta_powers(domain)
     _zeta_inv_powers(domain)
     assert builder.rows <= domain.usable_rows, (
         f"circuit rows {builder.rows} exceed usable {domain.usable_rows} at k={k}"
@@ -195,12 +252,21 @@ def keygen(builder: Builder, srs, k: int | None = None):
     from .kernels import _jit_canon_batch, _jit_coeff, _jit_ext, msm_commit_batch
 
     plan, plan_ext = domain.plan, domain.plan_ext
-    zp = _zeta_powers(domain)
 
-    def jit_t(col):
-        coeff = _jit_coeff(col, plan.tw_inv, plan.n_inv)
-        ext = _jit_ext(coeff, zp, plan_ext.tw)
-        return coeff, ext
+    if split:
+        # split-quotient mode: coefficient forms only; per-coset evals are
+        # (re)computed inside create_proof — an 8n fused domain for 20+
+        # polynomials would not fit HBM at k >= 18
+        def jit_t(col):
+            return _jit_coeff(col, plan.tw_inv, plan.n_inv), None
+    else:
+        zp = _zeta_powers(domain)
+
+        def jit_t(col):
+            coeff = _jit_coeff(col, plan.tw_inv, plan.n_inv)
+            ext = _jit_ext(coeff, zp, plan_ext.tw)
+            return coeff, ext
+
     fixed_raw, fixed_coeff, fixed_ext = {}, {}, {}
     for name in ALL_FIXED:
         dev = jnp.asarray(ctx.to_mont_np(fixed_host[name]))
@@ -213,37 +279,41 @@ def keygen(builder: Builder, srs, k: int | None = None):
         sigma_coeff.append(coeff)
         sigma_ext.append(ext)
 
-    # lagrange masks
+    # lagrange masks (coeff in split mode, extended evals otherwise)
     def lag_col(rows):
         col = [0] * n
         for r in rows:
             col[r] = 1
         dev = jnp.asarray(ctx.to_mont_np(col))
-        return jit_t(dev)[1]
+        coeff, ext = jit_t(dev)
+        return coeff if split else ext
 
-    l0_ext = lag_col([0])
-    l_last_ext = lag_col([domain.usable_rows])
-    l_blind_ext = lag_col(range(domain.usable_rows + 1, n))
+    l0_m = lag_col([0])
+    l_last_m = lag_col([domain.usable_rows])
+    l_blind_m = lag_col(range(domain.usable_rows + 1, n))
 
-    # identity poly X on the extended coset: zeta * omega_ext^j
-    xs, cur = [], domain.zeta
-    for _ in range(domain.n_ext):
-        xs.append(cur)
-        cur = cur * domain.omega_ext % FR.p
-    x_ext = jnp.asarray(ctx.to_mont_np(xs))
+    x_ext = None
+    zh_inv_ext = None
+    if not split:
+        # identity poly X on the extended coset: zeta * omega_ext^j
+        xs, cur = [], domain.zeta
+        for _ in range(domain.n_ext):
+            xs.append(cur)
+            cur = cur * domain.omega_ext % FR.p
+        x_ext = jnp.asarray(ctx.to_mont_np(xs))
 
-    # 1/(X^n-1) on the extended coset: period-MAX_DEGREE sequence
-    zh = []
-    zeta_n = pow(domain.zeta, n, FR.p)
-    w_n = pow(domain.omega_ext, n, FR.p)  # order 8
-    cur = zeta_n
-    from .domain import MAX_DEGREE
+        # 1/(X^n-1) on the extended coset: period-MAX_DEGREE sequence
+        zh = []
+        zeta_n = pow(domain.zeta, n, FR.p)
+        w_n = pow(domain.omega_ext, n, FR.p)  # order 8
+        cur = zeta_n
+        from .domain import MAX_DEGREE
 
-    for _ in range(MAX_DEGREE):
-        zh.append(FR.inv((cur - 1) % FR.p))
-        cur = cur * w_n % FR.p
-    zh_full = [zh[j % MAX_DEGREE] for j in range(domain.n_ext)]
-    zh_inv_ext = jnp.asarray(ctx.to_mont_np(zh_full))
+        for _ in range(MAX_DEGREE):
+            zh.append(FR.inv((cur - 1) % FR.p))
+            cur = cur * w_n % FR.p
+        zh_full = [zh[j % MAX_DEGREE] for j in range(domain.n_ext)]
+        zh_inv_ext = jnp.asarray(ctx.to_mont_np(zh_full))
 
     # ---- commitments (one batched MSM over the shared pair tables) ----
     all_coeffs = [fixed_coeff[name] for name in ALL_FIXED] + list(sigma_coeff)
@@ -253,22 +323,26 @@ def keygen(builder: Builder, srs, k: int | None = None):
     fixed_comms = dict(zip(ALL_FIXED, all_comms[: len(ALL_FIXED)]))
     sigma_comms = list(all_comms[len(ALL_FIXED) :])
 
-    repr_scalar = transcript_repr(k, fixed_comms, sigma_comms)
+    repr_scalar = transcript_repr(domain, fixed_comms, sigma_comms)
     vk = VerifyingKey(domain, fixed_comms, sigma_comms, repr_scalar)
     pk = ProvingKey(
         vk=vk,
         fixed_raw=fixed_raw,
         fixed_coeff=fixed_coeff,
-        fixed_ext=fixed_ext,
+        fixed_ext=None if split else fixed_ext,
         sigma_coeff=sigma_coeff,
-        sigma_ext=sigma_ext,
-        l0_ext=l0_ext,
-        l_last_ext=l_last_ext,
-        l_blind_ext=l_blind_ext,
+        sigma_ext=None if split else sigma_ext,
+        l0_ext=None if split else l0_m,
+        l_last_ext=None if split else l_last_m,
+        l_blind_ext=None if split else l_blind_m,
         x_ext=x_ext,
-        zeta_powers=_zeta_powers(domain),
+        zeta_powers=None if split else _zeta_powers(domain),
         zeta_inv_powers=_zeta_inv_powers(domain),
         zh_inv_ext=zh_inv_ext,
         delta_powers=delta_powers,
+        split=split,
+        l0_coeff=l0_m if split else None,
+        l_last_coeff=l_last_m if split else None,
+        l_blind_coeff=l_blind_m if split else None,
     )
     return pk, vk

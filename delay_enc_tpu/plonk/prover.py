@@ -152,6 +152,85 @@ def _mont1(x: int) -> jnp.ndarray:
     return jnp.asarray(CTX.to_mont_np([x]))
 
 
+# ---- split-quotient mode (k >= SPLIT_QUOTIENT_K) -------------------------
+
+_coset_cache: dict = {}
+
+
+def _coset_shift_powers(domain, j: int) -> jnp.ndarray:
+    """(n,16) mont powers shift^i of the j-th coset shift (cached per k)."""
+    key = (domain.k, j, "pow")
+    if key not in _coset_cache:
+        shift = domain.coset_shift(j)
+        vals, cur = [], 1
+        for _ in range(domain.n):
+            vals.append(cur)
+            cur = cur * shift % FR.p
+        _coset_cache[key] = jnp.asarray(CTX.to_mont_np(vals))
+    return _coset_cache[key]
+
+
+def _coset_x_evals(domain, j: int) -> jnp.ndarray:
+    """(n,16) mont evals of the identity poly X on coset j: shift*omega^i."""
+    key = (domain.k, j, "x")
+    if key not in _coset_cache:
+        shift = domain.coset_shift(j)
+        vals, cur = [], shift
+        for _ in range(domain.n):
+            vals.append(cur)
+            cur = cur * domain.omega % FR.p
+        _coset_cache[key] = jnp.asarray(CTX.to_mont_np(vals))
+    return _coset_cache[key]
+
+
+def _split_quotient(pk, domain, witness_coeffs, chals, delta_ms, y_pows_rev):
+    """Quotient via MAX_DEGREE separate size-n cosets (halo2's strategy):
+    at no point is more than one coset's evaluations live, so peak HBM is
+    ~MAX_DEGREE-fold lower than the fused 8n path — required for k >= 18
+    (reference k=18/19 rows, benches/README.md:61-63)."""
+    from .domain import MAX_DEGREE
+    from .kernels import (
+        _jit_coset_evals,
+        _jit_interleave_intt,
+        _jit_quotient_coset,
+    )
+
+    n = domain.n
+    plan, plan_ext = domain.plan, domain.plan_ext
+    wit_stack = jnp.stack(witness_coeffs)  # (19, n, 16)
+    static_stack = jnp.stack(
+        [pk.fixed_coeff[name] for name in ALL_FIXED]
+        + list(pk.sigma_coeff)
+        + [pk.l0_coeff, pk.l_last_coeff, pk.l_blind_coeff]
+    )
+    nf = len(ALL_FIXED)
+    ns = len(pk.sigma_coeff)
+    h_cosets = []
+    for j in range(MAX_DEGREE):
+        sp = _coset_shift_powers(domain, j)
+        wit_j = _jit_coset_evals(wit_stack, sp, plan.tw)
+        stat_j = _jit_coset_evals(static_stack, sp, plan.tw)
+        fe_c = {name: stat_j[i] for i, name in enumerate(ALL_FIXED)}
+        sigma_c = [stat_j[nf + c] for c in range(ns)]
+        masks_c = (stat_j[nf + ns], stat_j[nf + ns + 1], stat_j[nf + ns + 2],
+                   _coset_x_evals(domain, j))
+        shift_n = pow(domain.coset_shift(j), n, FR.p)
+        zh_inv = _mont1(pow((shift_n - 1) % FR.p, -1, FR.p))
+        off = NUM_ADVICE + 2
+        h_j = _jit_quotient_coset(
+            [wit_j[c] for c in range(NUM_ADVICE)],
+            wit_j[NUM_ADVICE], wit_j[NUM_ADVICE + 1],
+            {l: wit_j[off + i] for i, l in enumerate(LOOKUPS)},
+            {l: wit_j[off + 4 + i] for i, l in enumerate(LOOKUPS)},
+            {l: wit_j[off + 8 + i] for i, l in enumerate(LOOKUPS)},
+            fe_c, sigma_c, masks_c, chals, delta_ms, zh_inv, y_pows_rev,
+        )
+        h_cosets.append(h_j)
+    return _jit_interleave_intt(
+        jnp.stack(h_cosets), plan_ext.tw_inv, plan_ext.n_inv, pk.zeta_inv_powers
+    )
+
+
 def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     profile = bool(os.environ.get("DELAY_ENC_PROFILE"))
     _t = [_time.time()]
@@ -303,37 +382,43 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
         ctx.to_mont_np([pow(y, n_exprs - 1 - i, FR.p) for i in range(n_exprs)])
     )
 
-    # one batched extended-coset NTT for every opened witness polynomial
-    ext_stack = _jit_ext_batch(
-        jnp.stack(
-            advice_coeff
-            + [instance_coeff, z_perm_coeff]
-            + [z_lookup_coeff[l] for l in LOOKUPS]
-            + [ap_coeff[l] for l in LOOKUPS]
-            + [sp_coeff[l] for l in LOOKUPS]
-        ),
-        pk.zeta_powers, plan_ext.tw,
+    witness_coeffs = (
+        advice_coeff
+        + [instance_coeff, z_perm_coeff]
+        + [z_lookup_coeff[l] for l in LOOKUPS]
+        + [ap_coeff[l] for l in LOOKUPS]
+        + [sp_coeff[l] for l in LOOKUPS]
     )
-    advice_ext = [ext_stack[c] for c in range(NUM_ADVICE)]
-    instance_ext = ext_stack[NUM_ADVICE]
-    z_perm_ext = ext_stack[NUM_ADVICE + 1]
-    off = NUM_ADVICE + 2
-    z_l_ext = {l: ext_stack[off + i] for i, l in enumerate(LOOKUPS)}
-    ap_ext = {l: ext_stack[off + 4 + i] for i, l in enumerate(LOOKUPS)}
-    sp_ext = {l: ext_stack[off + 8 + i] for i, l in enumerate(LOOKUPS)}
+    if pk.split:
+        h_coeff = _split_quotient(
+            pk, domain, witness_coeffs, (theta_m, beta_m, gamma_m), delta_ms,
+            y_pows_rev,
+        )
+    else:
+        # one batched extended-coset NTT for every opened witness polynomial
+        ext_stack = _jit_ext_batch(
+            jnp.stack(witness_coeffs), pk.zeta_powers, plan_ext.tw,
+        )
+        advice_ext = [ext_stack[c] for c in range(NUM_ADVICE)]
+        instance_ext = ext_stack[NUM_ADVICE]
+        z_perm_ext = ext_stack[NUM_ADVICE + 1]
+        off = NUM_ADVICE + 2
+        z_l_ext = {l: ext_stack[off + i] for i, l in enumerate(LOOKUPS)}
+        ap_ext = {l: ext_stack[off + 4 + i] for i, l in enumerate(LOOKUPS)}
+        sp_ext = {l: ext_stack[off + 8 + i] for i, l in enumerate(LOOKUPS)}
 
-    h_coeff = _jit_quotient(
-        advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext,
-        pk.fixed_ext, pk.sigma_ext,
-        (pk.l0_ext, pk.l_last_ext, pk.l_blind_ext, pk.x_ext),
-        (theta_m, beta_m, gamma_m),
-        delta_ms, pk.zh_inv_ext, pk.zeta_inv_powers, y_pows_rev,
-        plan_ext.tw_inv, plan_ext.n_inv,
-    )
-    # free the extended-domain arrays — the opening phases don't need them,
-    # and at k=17 they hold ~1.5 GB of HBM
-    del advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext
-    del a_raw, ap_raw, sp_raw, s_raw, num_a, pre, suf, omega_dev, sigma_raw, ext_stack
+        h_coeff = _jit_quotient(
+            advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext,
+            pk.fixed_ext, pk.sigma_ext,
+            (pk.l0_ext, pk.l_last_ext, pk.l_blind_ext, pk.x_ext),
+            (theta_m, beta_m, gamma_m),
+            delta_ms, pk.zh_inv_ext, pk.zeta_inv_powers, y_pows_rev,
+            plan_ext.tw_inv, plan_ext.n_inv,
+        )
+        # free the extended-domain arrays — the opening phases don't need
+        # them, and at k=17 they hold ~1.5 GB of HBM
+        del advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext, ext_stack
+    del a_raw, ap_raw, sp_raw, s_raw, num_a, pre, suf, omega_dev, sigma_raw
     h_pieces = [h_coeff[i * n : (i + 1) * n] for i in range(QUOTIENT_PIECES)]
     for pt in commit_many(h_pieces):
         tr.write_point(pt)

@@ -5,6 +5,8 @@ sharded NTT/iNTT == single-chip NTT, batch commit == per-poly MSM."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # minutes of XLA:CPU compile
+
 import jax
 import jax.numpy as jnp
 

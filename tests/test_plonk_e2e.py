@@ -7,6 +7,8 @@ setup -> keygen -> create_proof -> verify_proof) at a toy size."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # minutes of XLA:CPU compile
+
 from delay_enc_tpu.cs import Builder, MainGate, RangeChip, Term
 from delay_enc_tpu.fields import FR
 from delay_enc_tpu.plonk import SRS, create_proof, keygen, verify_proof
@@ -95,3 +97,19 @@ def test_public_inputs(srs):
     b2 = build(5, 8)
     proof2 = create_proof(srs, pk, b2, np.random.default_rng(6))
     assert verify_proof(srs, vk, proof2, instances=[40])
+
+
+def test_split_quotient_matches_fused(srs):
+    """Split-coset quotient mode (k >= 18 memory strategy, forced on here)
+    must produce byte-identical proofs to the fused 8n path: the quotient
+    polynomial is deterministic given witness + challenges, and the rng
+    stream is consumed identically."""
+    b = _build_circuit()
+    pk_f, vk_f = keygen(b, srs, split=False)
+    pk_s, vk_s = keygen(b, srs, split=True)
+    assert pk_s.fixed_ext is None and pk_s.split
+    assert vk_f.transcript_repr == vk_s.transcript_repr
+    p_f = create_proof(srs, pk_f, b, np.random.default_rng(9))
+    p_s = create_proof(srs, pk_s, b, np.random.default_rng(9))
+    assert p_f == p_s
+    assert verify_proof(srs, vk_s, p_s)
