@@ -171,6 +171,14 @@ def _jit_plane_sums16(tab_i8: jnp.ndarray, sel_chunks: jnp.ndarray):
             preferred_element_type=jnp.int32,
         )  # (m, 96, C)
         vals = (out + 128).astype(jnp.uint32)
+        from . import msm_pallas as MP
+
+        if MP.enabled() and L._backend_unrolls() and m >= MP.STAGE_W:
+            # fused Pallas tree: (m, 96, C) -> (C, 48, m) u32 rows
+            limb = vals.reshape(m, 3, 16, 2, C)
+            limb = limb[..., 0, :] + (limb[..., 1, :] << 8)  # (m, 3, 16, C)
+            rows = jnp.transpose(limb.reshape(m, 48, C), (2, 1, 0))
+            return MP.tree_reduce(rows)  # (C, 3, 16)
         if L._backend_unrolls():
             rows = tuple(
                 [

@@ -138,7 +138,7 @@ def create_proofs_batched(srs, pk: ProvingKey, builders, rng=None, mesh=None,
         for v in b.instance:
             tr.common_scalar(v)
 
-    pair_tables = srs.pair_tables()
+    pair_tables = srs.msm_tables()
 
     def commit_rows(stacked_coeff):
         """(m, n, 16) mont coeffs -> m host affine points."""

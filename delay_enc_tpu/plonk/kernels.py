@@ -60,10 +60,19 @@ def _jit_canon(a):
     return L.mont_to_canonical(CTX, a)
 
 
-def msm_commit_batch(pair_tables, canon_stack) -> list:
+def msm_commit_batch(tables, canon_stack) -> list:
     """(B, n, 16) canonical coefficient stack -> B host affine commitments,
-    via the shared per-SRS pair tables (ops/msm.py design notes)."""
-    return M.msm_with_tables(pair_tables, canon_stack)
+    via the shared per-SRS tables.  `tables` is either a raw base-4 pair
+    table array (ops/msm.py) or a ("b4"|"b16", array) pair from
+    SRS.msm_tables()."""
+    kind = "b4"
+    if isinstance(tables, tuple):
+        kind, tables = tables
+    if kind == "b16":
+        from ..ops import msm16 as M16
+
+        return M16.msm16_with_tables(tables, canon_stack)
+    return M.msm_with_tables(tables, canon_stack)
 
 
 @jax.jit

@@ -318,7 +318,7 @@ def keygen(builder: Builder, srs, k: int | None = None, split: bool | None = Non
     # ---- commitments (one batched MSM over the shared pair tables) ----
     all_coeffs = [fixed_coeff[name] for name in ALL_FIXED] + list(sigma_coeff)
     all_comms = msm_commit_batch(
-        srs.pair_tables(), _jit_canon_batch(jnp.stack(all_coeffs))
+        srs.msm_tables(), _jit_canon_batch(jnp.stack(all_coeffs))
     )
     fixed_comms = dict(zip(ALL_FIXED, all_comms[: len(ALL_FIXED)]))
     sigma_comms = list(all_comms[len(ALL_FIXED) :])

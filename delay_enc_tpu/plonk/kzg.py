@@ -60,31 +60,57 @@ class SRS:
         h.update(str(self.tau_g2[0].c0).encode())
         return h.hexdigest()
 
-    def pair_tables(self):
-        """Per-SRS MSM base-4 pair tables (built once, reused by every
-        commit; disk-cached alongside the SRS — keyed by the SRS content
-        digest so regenerating the SRS invalidates the tables)."""
-        if self.k not in self._pair_tables:
+    def _cached_tables(self, tag: str, build):
+        """Build-or-load a per-SRS derived table, disk-cached keyed by the
+        SRS content digest (a regenerated SRS can never silently pair with
+        stale tables)."""
+        key = (tag, self.k)
+        if key not in self._pair_tables:
             import numpy as _np
 
             path = None
             if self._cache_dir:
                 path = os.path.join(
-                    self._cache_dir, f"msmtab_bn254_k{self.k}_{self._digest()}.npy"
+                    self._cache_dir, f"msmtab{tag}_bn254_k{self.k}_{self._digest()}.npy"
                 )
             if path and os.path.exists(path):
                 import jax.numpy as jnp
 
-                self._pair_tables[self.k] = jnp.asarray(_np.load(path))
+                self._pair_tables[key] = jnp.asarray(_np.load(path))
             else:
-                tab = M._jit_pair_tables(self.g1_powers)
-                self._pair_tables[self.k] = tab
+                tab = build()
+                self._pair_tables[key] = tab
                 if path:
                     try:
                         _np.save(path, _np.asarray(jax.device_get(tab)))
                     except Exception:
                         pass
-        return self._pair_tables[self.k]
+        return self._pair_tables[key]
+
+    def pair_tables(self):
+        """Per-SRS MSM base-4 pair tables (16, n/2, 3, 16) u16 — built once,
+        reused by every commit (ops/msm.py design notes)."""
+        return self._cached_tables("", lambda: M._jit_pair_tables(self.g1_powers))
+
+    def pair_tables16(self):
+        """Per-SRS base-16 pair tables in the int8 MXU-selection layout
+        (n/2, 96, 256) — ops/msm16.py.  16x the base-4 table bytes
+        (805 MB at k=16), half the addition tree."""
+        from ..ops import msm16 as M16
+
+        def build():
+            tab = M16._jit_pair_tables16(self.g1_powers)
+            return M16._jit_tables_to_i8(tab)
+
+        return self._cached_tables("16", build)
+
+    def msm_tables(self):
+        """(kind, tables) for the prover's commitment MSMs, selected by
+        DELAY_ENC_MSM (b4 | b16; default b4 until b16 is TPU-validated)."""
+        kind = os.environ.get("DELAY_ENC_MSM", "b4")
+        if kind == "b16":
+            return "b16", self.pair_tables16()
+        return "b4", self.pair_tables()
 
     @staticmethod
     def setup(k: int, cache_dir: str | None = None, tau: int | None = None) -> "SRS":

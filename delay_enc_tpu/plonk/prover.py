@@ -272,7 +272,7 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
         """One batched iNTT launch for a stack of columns."""
         return _jit_coeff_batch(jnp.stack(cols), plan.tw_inv, plan.n_inv)
 
-    pair_tables = srs.pair_tables()
+    pair_tables = srs.msm_tables()
 
     def commit_many(coeffs):
         stacked = _jit_canon_batch(jnp.stack(coeffs))
