@@ -97,7 +97,7 @@ def miller_loop(pt_g1, pt_g2) -> Fq12:
 # Fq2 inversion per step (halo2curves G2Prepared equivalent).
 
 class G2Prepared:
-    __slots__ = ("coeffs",)
+    __slots__ = ("coeffs", "_native_packed")  # packed bytes cached by native.ec
 
     def __init__(self, pt_g2):
         self.coeffs = []
@@ -230,7 +230,16 @@ def multi_pairing(pairs) -> Fq12:
 
 def pairing_check(pairs) -> bool:
     """Returns True iff prod_i e(P_i, Q_i) == 1 (the KZG verification shape).
-    Each Q_i may be a raw G2 point or a G2Prepared (fixed-point fast path)."""
+    Each Q_i may be a raw G2 point or a G2Prepared (fixed-point fast path).
+    When every Q is prepared and the native C library is available, the
+    whole check (multi-Miller + final exponentiation) runs in C."""
+    pairs = list(pairs)
+    if pairs and all(isinstance(q, G2Prepared) for _, q in pairs):
+        from ..native.ec import pairing_check_native
+
+        res = pairing_check_native(pairs)
+        if res is not None:
+            return res
     f = Fq12.one()
     raw = []
     for pt_g1, q in pairs:

@@ -91,5 +91,14 @@ def get_eclib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
     ]
     lib.g1_msm.restype = ctypes.c_int
+    lib.pairing_check_prepared.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t,  # points, npairs
+        ctypes.c_void_p, ctypes.c_size_t,  # coeffs, nsteps
+        ctypes.c_void_p, ctypes.c_size_t,  # ate_bits, nate
+        ctypes.c_void_p, ctypes.c_size_t,  # u_bits, nu
+        ctypes.c_void_p,                   # frobenius coefficient table
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
+    ]
+    lib.pairing_check_prepared.restype = ctypes.c_int
     _eclib = lib
     return _eclib

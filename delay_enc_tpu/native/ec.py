@@ -86,3 +86,69 @@ def msm_host(scalars, points, order: int):
         int.from_bytes(ob[:32], "little"),
         int.from_bytes(ob[32:], "little"),
     )
+
+
+# ---- native pairing check (prepared lines) -------------------------------
+
+_PAIRING_CONSTS = None
+
+
+def _pairing_consts():
+    """(ate_bits, u_bits, frob_table_bytes) — computed once."""
+    global _PAIRING_CONSTS
+    if _PAIRING_CONSTS is None:
+        from ..fields.bn254 import ATE_LOOP_COUNT, BN_U, _frob_coeffs
+        from ..fields import bn254 as F
+
+        ate = bytes(int(b) for b in bin(ATE_LOOP_COUNT)[2:][1:])
+        u_bits = bytes(int(b) for b in bin(BN_U)[2:])
+        _frob_coeffs()
+        frob = b""
+        for tab in (F._FROB_C1_6, F._FROB_C2_6, F._FROB_C1_12):
+            for pw in (1, 2, 3):
+                v = tab[pw]
+                frob += v.c0.to_bytes(32, "little") + v.c1.to_bytes(32, "little")
+        _PAIRING_CONSTS = (ate, u_bits, frob)
+    return _PAIRING_CONSTS
+
+
+def _pack_prepared(prep) -> bytes:
+    """G2Prepared -> packed canonical coefficient bytes (cached on the
+    object: prepared points are fixed per SRS)."""
+    packed = getattr(prep, "_native_packed", None)
+    if packed is None:
+        out = bytearray()
+        for lam, c4 in prep.coeffs:
+            out += lam.c0.to_bytes(32, "little") + lam.c1.to_bytes(32, "little")
+            out += c4.c0.to_bytes(32, "little") + c4.c1.to_bytes(32, "little")
+        packed = bytes(out)
+        prep._native_packed = packed
+    return packed
+
+
+def pairing_check_native(pairs):
+    """pairs: [(g1_affine | None, G2Prepared)].  Returns True/False, or
+    None when the C library is unavailable (caller falls back to Python)."""
+    lib = get_eclib()
+    if lib is None or not pairs or len(pairs) > 16:
+        return None
+    nsteps = len(pairs[0][1].coeffs)
+    if any(len(q.coeffs) != nsteps for _, q in pairs):
+        return None
+    pts = bytearray(64 * len(pairs))
+    coeffs = bytearray()
+    for i, (pt, q) in enumerate(pairs):
+        if pt is not None:
+            pts[64 * i : 64 * i + 32] = pt[0].to_bytes(32, "little")
+            pts[64 * i + 32 : 64 * i + 64] = pt[1].to_bytes(32, "little")
+        coeffs += _pack_prepared(q)
+    ate, u_bits, frob = _pairing_consts()
+    pw, r2w, n0 = _consts()
+    rc = lib.pairing_check_prepared(
+        bytes(pts), len(pairs), bytes(coeffs), nsteps,
+        ate, len(ate), u_bits, len(u_bits), frob,
+        pw.ctypes.data, r2w.ctypes.data, n0,
+    )
+    if rc < 0:
+        return None
+    return bool(rc)

@@ -375,3 +375,476 @@ int g1_msm(const uint8_t *points, const uint8_t *scalars, size_t n,
     memcpy(out + 32, ya.w, 32);
     return 1;
 }
+
+/* ------------------------------------------------------------------ */
+/* Optimal-ate pairing check (verifier fast path)                      */
+/*                                                                     */
+/* Python (curves/pairing.py) prepares the P-independent line          */
+/* coefficients per fixed G2 point (G2Prepared); this C path runs the  */
+/* shared-squaring multi-Miller loop and the final exponentiation on   */
+/* the Fq2/Fq6/Fq12 tower.  Frobenius coefficients and the BN u-bit    */
+/* pattern arrive as data (computed once in Python), keeping this      */
+/* file free of constant generation.  All field elements are in        */
+/* Montgomery form.                                                    */
+
+typedef struct { u256 c0, c1; } fq2;
+typedef struct { fq2 c0, c1, c2; } fq6;
+typedef struct { fq6 c0, c1; } fq12;
+
+static void fq2_add(const fctx *c, const fq2 *a, const fq2 *b, fq2 *o) {
+    fe_add(c, &a->c0, &b->c0, &o->c0);
+    fe_add(c, &a->c1, &b->c1, &o->c1);
+}
+static void fq2_sub(const fctx *c, const fq2 *a, const fq2 *b, fq2 *o) {
+    fe_sub(c, &a->c0, &b->c0, &o->c0);
+    fe_sub(c, &a->c1, &b->c1, &o->c1);
+}
+static void fq2_neg(const fctx *c, const fq2 *a, fq2 *o) {
+    u256 zero = {{0, 0, 0, 0}};
+    fe_sub(c, &zero, &a->c0, &o->c0);
+    fe_sub(c, &zero, &a->c1, &o->c1);
+}
+static void fq2_mul(const fctx *c, const fq2 *a, const fq2 *b, fq2 *o) {
+    u256 t0, t1, s1, s2, m;
+    fe_mul(c, &a->c0, &b->c0, &t0);
+    fe_mul(c, &a->c1, &b->c1, &t1);
+    fe_add(c, &a->c0, &a->c1, &s1);
+    fe_add(c, &b->c0, &b->c1, &s2);
+    fe_mul(c, &s1, &s2, &m);
+    fe_sub(c, &t0, &t1, &o->c0);
+    fe_sub(c, &m, &t0, &m);
+    fe_sub(c, &m, &t1, &o->c1);
+}
+static void fq2_sq(const fctx *c, const fq2 *a, fq2 *o) {
+    u256 s, d, m;
+    fe_add(c, &a->c0, &a->c1, &s);
+    fe_sub(c, &a->c0, &a->c1, &d);
+    fe_mul(c, &a->c0, &a->c1, &m);
+    fe_mul(c, &s, &d, &o->c0);
+    fe_add(c, &m, &m, &o->c1);
+}
+/* * xi = 9 + u */
+static void fq2_mul_xi(const fctx *c, const fq2 *a, fq2 *o) {
+    u256 a0_9, a1_9, t;
+    fe_add(c, &a->c0, &a->c0, &t); fe_add(c, &t, &t, &t);
+    fe_add(c, &t, &t, &a0_9); fe_add(c, &a0_9, &a->c0, &a0_9); /* 9*a0 */
+    fe_add(c, &a->c1, &a->c1, &t); fe_add(c, &t, &t, &t);
+    fe_add(c, &t, &t, &a1_9); fe_add(c, &a1_9, &a->c1, &a1_9); /* 9*a1 */
+    fq2 r;
+    fe_sub(c, &a0_9, &a->c1, &r.c0);
+    fe_add(c, &a1_9, &a->c0, &r.c1);
+    *o = r;
+}
+static void fq2_conj(const fctx *c, const fq2 *a, fq2 *o) {
+    u256 zero = {{0, 0, 0, 0}};
+    o->c0 = a->c0;
+    fe_sub(c, &zero, &a->c1, &o->c1);
+}
+static void fq2_inv(const fctx *c, const fq2 *a, fq2 *o) {
+    u256 t0, t1, t;
+    fe_mul(c, &a->c0, &a->c0, &t0);
+    fe_mul(c, &a->c1, &a->c1, &t1);
+    fe_add(c, &t0, &t1, &t);
+    fe_inv(c, &t, &t);
+    fe_mul(c, &a->c0, &t, &o->c0);
+    u256 zero = {{0, 0, 0, 0}};
+    u256 n1;
+    fe_mul(c, &a->c1, &t, &n1);
+    fe_sub(c, &zero, &n1, &o->c1);
+}
+static int fq2_is_zero(const fq2 *a) {
+    return fe_is_zero(&a->c0) && fe_is_zero(&a->c1);
+}
+
+static void fq6_add(const fctx *c, const fq6 *a, const fq6 *b, fq6 *o) {
+    fq2_add(c, &a->c0, &b->c0, &o->c0);
+    fq2_add(c, &a->c1, &b->c1, &o->c1);
+    fq2_add(c, &a->c2, &b->c2, &o->c2);
+}
+static void fq6_sub(const fctx *c, const fq6 *a, const fq6 *b, fq6 *o) {
+    fq2_sub(c, &a->c0, &b->c0, &o->c0);
+    fq2_sub(c, &a->c1, &b->c1, &o->c1);
+    fq2_sub(c, &a->c2, &b->c2, &o->c2);
+}
+static void fq6_neg(const fctx *c, const fq6 *a, fq6 *o) {
+    fq2_neg(c, &a->c0, &o->c0);
+    fq2_neg(c, &a->c1, &o->c1);
+    fq2_neg(c, &a->c2, &o->c2);
+}
+/* * v */
+static void fq6_mul_v(const fctx *c, const fq6 *a, fq6 *o) {
+    fq6 r;
+    fq2_mul_xi(c, &a->c2, &r.c0);
+    r.c1 = a->c0;
+    r.c2 = a->c1;
+    *o = r;
+}
+static void fq6_mul(const fctx *c, const fq6 *a, const fq6 *b, fq6 *o) {
+    fq2 t0, t1, t2, s1, s2, m, r0, r1, r2;
+    fq2_mul(c, &a->c0, &b->c0, &t0);
+    fq2_mul(c, &a->c1, &b->c1, &t1);
+    fq2_mul(c, &a->c2, &b->c2, &t2);
+    /* c0 = ((a1+a2)(b1+b2) - t1 - t2)*xi + t0 */
+    fq2_add(c, &a->c1, &a->c2, &s1);
+    fq2_add(c, &b->c1, &b->c2, &s2);
+    fq2_mul(c, &s1, &s2, &m);
+    fq2_sub(c, &m, &t1, &m);
+    fq2_sub(c, &m, &t2, &m);
+    fq2_mul_xi(c, &m, &m);
+    fq2_add(c, &m, &t0, &r0);
+    /* c1 = (a0+a1)(b0+b1) - t0 - t1 + t2*xi */
+    fq2_add(c, &a->c0, &a->c1, &s1);
+    fq2_add(c, &b->c0, &b->c1, &s2);
+    fq2_mul(c, &s1, &s2, &m);
+    fq2_sub(c, &m, &t0, &m);
+    fq2_sub(c, &m, &t1, &m);
+    fq2 t2xi;
+    fq2_mul_xi(c, &t2, &t2xi);
+    fq2_add(c, &m, &t2xi, &r1);
+    /* c2 = (a0+a2)(b0+b2) - t0 - t2 + t1 */
+    fq2_add(c, &a->c0, &a->c2, &s1);
+    fq2_add(c, &b->c0, &b->c2, &s2);
+    fq2_mul(c, &s1, &s2, &m);
+    fq2_sub(c, &m, &t0, &m);
+    fq2_sub(c, &m, &t2, &m);
+    fq2_add(c, &m, &t1, &r2);
+    o->c0 = r0; o->c1 = r1; o->c2 = r2;
+}
+/* sparse: (b0 + b1 v) */
+static void fq6_mul01(const fctx *c, const fq6 *a, const fq2 *b0, const fq2 *b1, fq6 *o) {
+    fq2 aa, bb, t, s1, s2, r0, r1, r2;
+    fq2_mul(c, &a->c0, b0, &aa);
+    fq2_mul(c, &a->c1, b1, &bb);
+    fq2_add(c, &a->c1, &a->c2, &s1);
+    fq2_mul(c, &s1, b1, &t);
+    fq2_sub(c, &t, &bb, &t);
+    fq2_mul_xi(c, &t, &t);
+    fq2_add(c, &t, &aa, &r0);
+    fq2_add(c, b0, b1, &s1);
+    fq2_add(c, &a->c0, &a->c1, &s2);
+    fq2_mul(c, &s1, &s2, &t);
+    fq2_sub(c, &t, &aa, &t);
+    fq2_sub(c, &t, &bb, &r1);
+    fq2_add(c, &a->c0, &a->c2, &s1);
+    fq2_mul(c, &s1, b0, &t);
+    fq2_sub(c, &t, &aa, &t);
+    fq2_add(c, &t, &bb, &r2);
+    o->c0 = r0; o->c1 = r1; o->c2 = r2;
+}
+static void fq6_inv(const fctx *c, const fq6 *a, fq6 *o) {
+    fq2 t0, t1, t2, m, det, di;
+    fq2_sq(c, &a->c0, &t0);
+    fq2_mul(c, &a->c1, &a->c2, &m);
+    fq2_mul_xi(c, &m, &m);
+    fq2_sub(c, &t0, &m, &t0);
+    fq2_sq(c, &a->c2, &t1);
+    fq2_mul_xi(c, &t1, &t1);
+    fq2_mul(c, &a->c0, &a->c1, &m);
+    fq2_sub(c, &t1, &m, &t1);
+    fq2_sq(c, &a->c1, &t2);
+    fq2_mul(c, &a->c0, &a->c2, &m);
+    fq2_sub(c, &t2, &m, &t2);
+    fq2 d0, d1, d2;
+    fq2_mul(c, &a->c0, &t0, &d0);
+    fq2_mul(c, &a->c2, &t1, &d1);
+    fq2_mul_xi(c, &d1, &d1);
+    fq2_mul(c, &a->c1, &t2, &d2);
+    fq2_mul_xi(c, &d2, &d2);
+    fq2_add(c, &d0, &d1, &det);
+    fq2_add(c, &det, &d2, &det);
+    fq2_inv(c, &det, &di);
+    fq2_mul(c, &t0, &di, &o->c0);
+    fq2_mul(c, &t1, &di, &o->c1);
+    fq2_mul(c, &t2, &di, &o->c2);
+}
+
+static void fq12_mul(const fctx *c, const fq12 *a, const fq12 *b, fq12 *o) {
+    fq6 t0, t1, s1, s2, m;
+    fq6_mul(c, &a->c0, &b->c0, &t0);
+    fq6_mul(c, &a->c1, &b->c1, &t1);
+    fq6_add(c, &a->c0, &a->c1, &s1);
+    fq6_add(c, &b->c0, &b->c1, &s2);
+    fq6_mul(c, &s1, &s2, &m);
+    fq6 t1v;
+    fq6_mul_v(c, &t1, &t1v);
+    fq6_add(c, &t0, &t1v, &o->c0);
+    fq6_sub(c, &m, &t0, &m);
+    fq6_sub(c, &m, &t1, &o->c1);
+}
+static void fq12_sq(const fctx *c, const fq12 *a, fq12 *o) {
+    fq6 t, s1, s2, m;
+    fq6_mul(c, &a->c0, &a->c1, &t);
+    fq6_add(c, &a->c0, &a->c1, &s1);
+    fq6 a1v;
+    fq6_mul_v(c, &a->c1, &a1v);
+    fq6_add(c, &a->c0, &a1v, &s2);
+    fq6_mul(c, &s1, &s2, &m);
+    fq6 tv;
+    fq6_mul_v(c, &t, &tv);
+    fq6_sub(c, &m, &t, &m);
+    fq6_sub(c, &m, &tv, &o->c0);
+    fq6_add(c, &t, &t, &o->c1);
+}
+static void fq12_conj(const fctx *c, const fq12 *a, fq12 *o) {
+    o->c0 = a->c0;
+    fq6_neg(c, &a->c1, &o->c1);
+}
+static void fq12_inv(const fctx *c, const fq12 *a, fq12 *o) {
+    fq6 t0, t1, t;
+    fq6_mul(c, &a->c0, &a->c0, &t0);
+    fq6_mul(c, &a->c1, &a->c1, &t1);
+    fq6_mul_v(c, &t1, &t1);
+    fq6_sub(c, &t0, &t1, &t);
+    fq6_inv(c, &t, &t);
+    fq6_mul(c, &a->c0, &t, &o->c0);
+    fq6 m;
+    fq6_mul(c, &a->c1, &t, &m);
+    fq6_neg(c, &m, &o->c1);
+}
+/* sparse mul by c0 + (c3 + c4 v) w */
+static void fq12_mul034(const fctx *c, fq12 *f, const fq2 *s0, const fq2 *s3, const fq2 *s4) {
+    fq6 t0, t1, o6;
+    t0.c0 = f->c0.c0; t0.c1 = f->c0.c1; t0.c2 = f->c0.c2;
+    fq2_mul(c, &f->c0.c0, s0, &t0.c0);
+    fq2_mul(c, &f->c0.c1, s0, &t0.c1);
+    fq2_mul(c, &f->c0.c2, s0, &t0.c2);
+    fq6_mul01(c, &f->c1, s3, s4, &t1);
+    fq2 o;
+    fq2_add(c, s0, s3, &o);
+    fq6 sum;
+    fq6_add(c, &f->c1, &f->c0, &sum);
+    fq6_mul01(c, &sum, &o, s4, &o6);
+    fq6_sub(c, &o6, &t0, &o6);
+    fq6_sub(c, &o6, &t1, &f->c1);
+    fq6 t1v;
+    fq6_mul_v(c, &t1, &t1v);
+    fq6_add(c, &t1v, &t0, &f->c0);
+}
+
+/* frobenius powers 1..3 using coefficient tables passed from Python:
+ * frob6_c1[i], frob6_c2[i] (i=1..3), frob12_c1[i] (i=1..3), each an fq2 */
+typedef struct {
+    fq2 c1_6[4], c2_6[4], c1_12[4];
+} frob_tabs;
+
+static void fq6_frob(const fctx *c, const frob_tabs *ft, int power, const fq6 *a, fq6 *o) {
+    fq6 r = *a;
+    for (int i = 0; i < power; i++) {
+        fq2_conj(c, &r.c0, &r.c0);
+        fq2_conj(c, &r.c1, &r.c1);
+        fq2_conj(c, &r.c2, &r.c2);
+    }
+    fq2_mul(c, &r.c1, &ft->c1_6[power], &r.c1);
+    fq2_mul(c, &r.c2, &ft->c2_6[power], &r.c2);
+    *o = r;
+}
+static void fq12_frob(const fctx *c, const frob_tabs *ft, int power, const fq12 *a, fq12 *o) {
+    fq6 r0, r1;
+    fq6_frob(c, ft, power, &a->c0, &r0);
+    fq6_frob(c, ft, power, &a->c1, &r1);
+    fq2_mul(c, &r1.c0, &ft->c1_12[power], &r1.c0);
+    fq2_mul(c, &r1.c1, &ft->c1_12[power], &r1.c1);
+    fq2_mul(c, &r1.c2, &ft->c1_12[power], &r1.c2);
+    o->c0 = r0; o->c1 = r1;
+}
+
+/* Granger-Scott cyclotomic squaring (fields/bn254.py:cyclotomic_square) */
+static void fp4_sq(const fctx *c, const fq2 *a, const fq2 *b, fq2 *o0, fq2 *o1) {
+    fq2 t0, t1, s;
+    fq2_sq(c, a, &t0);
+    fq2_sq(c, b, &t1);
+    fq2_mul_xi(c, &t1, o0);
+    fq2_add(c, o0, &t0, o0);
+    fq2_add(c, a, b, &s);
+    fq2_sq(c, &s, &s);
+    fq2_sub(c, &s, &t0, &s);
+    fq2_sub(c, &s, &t1, o1);
+}
+static void fq12_cyc_sq(const fctx *c, const fq12 *a, fq12 *o) {
+    fq2 z0 = a->c0.c0, z4 = a->c0.c1, z3 = a->c0.c2;
+    fq2 z2 = a->c1.c0, z1 = a->c1.c1, z5 = a->c1.c2;
+    fq2 t0, t1, t2, t3, tmp;
+    fp4_sq(c, &z0, &z1, &t0, &t1);
+    fq2_sub(c, &t0, &z0, &tmp); fq2_add(c, &tmp, &tmp, &tmp); fq2_add(c, &tmp, &t0, &z0);
+    fq2_add(c, &t1, &z1, &tmp); fq2_add(c, &tmp, &tmp, &tmp); fq2_add(c, &tmp, &t1, &z1);
+    fp4_sq(c, &z2, &z3, &t0, &t1);
+    fp4_sq(c, &z4, &z5, &t2, &t3);
+    fq2_sub(c, &t0, &z4, &tmp); fq2_add(c, &tmp, &tmp, &tmp); fq2_add(c, &tmp, &t0, &z4);
+    fq2_add(c, &t1, &z5, &tmp); fq2_add(c, &tmp, &tmp, &tmp); fq2_add(c, &tmp, &t1, &z5);
+    fq2_mul_xi(c, &t3, &t0);
+    fq2_add(c, &t0, &z2, &tmp); fq2_add(c, &tmp, &tmp, &tmp); fq2_add(c, &tmp, &t0, &z2);
+    fq2_sub(c, &t2, &z3, &tmp); fq2_add(c, &tmp, &tmp, &tmp); fq2_add(c, &tmp, &t2, &z3);
+    o->c0.c0 = z0; o->c0.c1 = z4; o->c0.c2 = z3;
+    o->c1.c0 = z2; o->c1.c1 = z1; o->c1.c2 = z5;
+}
+
+static void fq12_one(const fctx *c, fq12 *o) {
+    memset(o, 0, sizeof(*o));
+    o->c0.c0.c0 = c->one;
+}
+static int fq12_is_one(const fctx *c, const fq12 *a) {
+    fq12 one;
+    fq12_one(c, &one);
+    return memcmp(a, &one, sizeof(one)) == 0;
+}
+
+/* f^u with cyclotomic squarings (u = BN_U bits passed MSB-first) */
+static void fq12_cyc_pow(const fctx *c, const fq12 *a, const uint8_t *bits,
+                         int nbits, fq12 *o) {
+    fq12 r;
+    int started = 0;
+    for (int i = 0; i < nbits; i++) {
+        if (started) fq12_cyc_sq(c, &r, &r);
+        if (bits[i]) {
+            if (!started) { r = *a; started = 1; }
+            else fq12_mul(c, &r, a, &r);
+        }
+    }
+    if (!started) fq12_one(c, &r);
+    *o = r;
+}
+
+/* multi-Miller loop over prepared lines + final exponentiation.
+ * pairs: np G1 affine points (canonical LE x||y, 64B each).
+ * coeffs: np * nsteps fq2 PAIRS (lam, c4) canonical LE (128B per step).
+ * ate_bits: the |6u+2| bit string MSB-first EXCLUDING the leading bit.
+ * u_bits: BN u MSB-first.  frob: 12 fq2 canonical (c1_6[1..3], c2_6[1..3],
+ * c1_12[1..3], padded with 3 unused).  Returns 1 iff the pairing product
+ * is one. */
+int pairing_check_prepared(const uint8_t *points, size_t npairs,
+                           const uint8_t *coeffs, size_t nsteps,
+                           const uint8_t *ate_bits, size_t nate,
+                           const uint8_t *u_bits, size_t nu,
+                           const uint8_t *frob,
+                           const uint64_t *p_words, const uint64_t *r2_words,
+                           uint64_t n0inv) {
+    if (npairs > 16) return -1;
+    fctx c;
+    fctx_init(&c, p_words, r2_words, n0inv);
+
+    /* load + Montgomery-ize */
+    u256 xp[16], yp[16];
+    int live[16];
+    for (size_t i = 0; i < npairs; i++) {
+        u256 x, y;
+        memcpy(x.w, points + 64 * i, 32);
+        memcpy(y.w, points + 64 * i + 32, 32);
+        live[i] = !(fe_is_zero(&x) && fe_is_zero(&y));
+        fe_mul(&c, &x, &c.r2, &xp[i]);
+        fe_mul(&c, &y, &c.r2, &yp[i]);
+    }
+    frob_tabs ft;
+    memset(&ft, 0, sizeof(ft));
+    const uint8_t *fp_ = frob;
+    for (int grp = 0; grp < 3; grp++) {
+        for (int pw = 1; pw <= 3; pw++) {
+            fq2 v;
+            memcpy(v.c0.w, fp_, 32);
+            memcpy(v.c1.w, fp_ + 32, 32);
+            fp_ += 64;
+            fe_mul(&c, &v.c0, &c.r2, &v.c0);
+            fe_mul(&c, &v.c1, &c.r2, &v.c1);
+            if (grp == 0) ft.c1_6[pw] = v;
+            else if (grp == 1) ft.c2_6[pw] = v;
+            else ft.c1_12[pw] = v;
+        }
+    }
+
+    /* coefficient stream: canonical -> Montgomery on the fly */
+    #define LOAD_STEP(i, step, lam, c4v) do { \
+        const uint8_t *q = coeffs + ((i) * nsteps + (step)) * 128; \
+        memcpy((lam).c0.w, q, 32); memcpy((lam).c1.w, q + 32, 32); \
+        memcpy((c4v).c0.w, q + 64, 32); memcpy((c4v).c1.w, q + 96, 32); \
+        fe_mul(&c, &(lam).c0, &c.r2, &(lam).c0); \
+        fe_mul(&c, &(lam).c1, &c.r2, &(lam).c1); \
+        fe_mul(&c, &(c4v).c0, &c.r2, &(c4v).c0); \
+        fe_mul(&c, &(c4v).c1, &c.r2, &(c4v).c1); \
+    } while (0)
+
+    fq12 f;
+    fq12_one(&c, &f);
+    size_t idx = 0;
+    u256 zero256; memset(&zero256, 0, sizeof(zero256));
+    for (size_t b = 0; b < nate; b++) {
+        fq12_sq(&c, &f, &f);
+        for (size_t i = 0; i < npairs; i++) {
+            if (!live[i]) continue;
+            fq2 lam, c4v, s0, s3;
+            LOAD_STEP(i, idx, lam, c4v);
+            s0.c0 = yp[i]; s0.c1 = zero256;
+            fq2 lx;
+            fe_mul(&c, &lam.c0, &xp[i], &lx.c0);
+            fe_mul(&c, &lam.c1, &xp[i], &lx.c1);
+            fq2_neg(&c, &lx, &s3);
+            fq12_mul034(&c, &f, &s0, &s3, &c4v);
+        }
+        idx++;
+        if (ate_bits[b]) {
+            for (size_t i = 0; i < npairs; i++) {
+                if (!live[i]) continue;
+                fq2 lam, c4v, s0, s3;
+                LOAD_STEP(i, idx, lam, c4v);
+                s0.c0 = yp[i]; s0.c1 = zero256;
+                fq2 lx;
+                fe_mul(&c, &lam.c0, &xp[i], &lx.c0);
+                fe_mul(&c, &lam.c1, &xp[i], &lx.c1);
+                fq2_neg(&c, &lx, &s3);
+                fq12_mul034(&c, &f, &s0, &s3, &c4v);
+            }
+            idx++;
+        }
+    }
+    for (int extra = 0; extra < 2; extra++) {
+        for (size_t i = 0; i < npairs; i++) {
+            if (!live[i]) continue;
+            fq2 lam, c4v, s0, s3;
+            LOAD_STEP(i, idx, lam, c4v);
+            s0.c0 = yp[i]; s0.c1 = zero256;
+            fq2 lx;
+            fe_mul(&c, &lam.c0, &xp[i], &lx.c0);
+            fe_mul(&c, &lam.c1, &xp[i], &lx.c1);
+            fq2_neg(&c, &lx, &s3);
+            fq12_mul034(&c, &f, &s0, &s3, &c4v);
+        }
+        idx++;
+    }
+    (void)nsteps;
+
+    /* final exponentiation: easy part */
+    fq12 finv, r;
+    fq12_inv(&c, &f, &finv);
+    fq12_conj(&c, &f, &r);
+    fq12_mul(&c, &r, &finv, &r);
+    fq12 rf;
+    fq12_frob(&c, &ft, 2, &r, &rf);
+    fq12_mul(&c, &rf, &r, &r);
+    /* hard part: Fuentes-Castaneda chain (curves/pairing.py) */
+    #define EXP_NEG_U(in, out) do { \
+        fq12 t_; fq12_cyc_pow(&c, &(in), u_bits, (int)nu, &t_); \
+        fq12_conj(&c, &t_, &(out)); \
+    } while (0)
+    fq12 y0, y1, y2, y3, y4, y5, y6, y7, y8, y9, y10, y11, y12, y13, y14, y15;
+    EXP_NEG_U(r, y0);
+    fq12_cyc_sq(&c, &y0, &y1);
+    fq12_cyc_sq(&c, &y1, &y2);
+    fq12_mul(&c, &y2, &y1, &y3);
+    EXP_NEG_U(y3, y4);
+    fq12_cyc_sq(&c, &y4, &y5);
+    EXP_NEG_U(y5, y6);
+    fq12_conj(&c, &y3, &y3);
+    fq12_conj(&c, &y6, &y6);
+    fq12_mul(&c, &y6, &y4, &y7);
+    fq12_mul(&c, &y7, &y3, &y8);
+    fq12_mul(&c, &y8, &y1, &y9);
+    fq12_mul(&c, &y8, &y4, &y10);
+    fq12_mul(&c, &y10, &r, &y11);
+    fq12_frob(&c, &ft, 1, &y9, &y12);
+    fq12_mul(&c, &y12, &y11, &y13);
+    fq12_frob(&c, &ft, 2, &y8, &y8);
+    fq12_mul(&c, &y8, &y13, &y14);
+    fq12_conj(&c, &r, &r);
+    fq12_mul(&c, &r, &y9, &y15);
+    fq12_frob(&c, &ft, 3, &y15, &y15);
+    fq12_mul(&c, &y15, &y14, &y15);
+    return fq12_is_one(&c, &y15);
+}

@@ -141,3 +141,30 @@ def test_mul_by_034_matches_full_mul():
     c0, c3, c4 = Fq2(123, 456), Fq2(789, 1011), Fq2(1213, 1415)
     sparse = Fq12(Fq6(c0, Fq2.zero(), Fq2.zero()), Fq6(c3, c4, Fq2.zero()))
     assert f.mul_by_034(c0, c3, c4) == f * sparse
+
+
+def test_native_pairing_check_matches_python():
+    """The C pairing path (ecops.c) must agree with the pure-Python tower
+    on accept AND reject, including identity G1 inputs."""
+    from delay_enc_tpu.curves.pairing import (
+        G2Prepared, final_exponentiation, multi_miller_loop_prepared,
+    )
+    from delay_enc_tpu.native import get_eclib
+    from delay_enc_tpu.native.ec import pairing_check_native
+
+    if get_eclib() is None:
+        pytest.skip("no C compiler")
+    a = 31415926
+    good = [
+        (G1.mul(G1_GEN, a), G2Prepared(G2_GEN)),
+        (G1.neg(G1_GEN), G2Prepared(G2.mul(G2_GEN, a))),
+    ]
+    bad = [(G1.mul(G1_GEN, a + 1), good[0][1]), good[1]]
+    with_id = [(None, good[0][1])] + good
+    for pairs in (good, bad, with_id):
+        py = final_exponentiation(multi_miller_loop_prepared(
+            [(p, q) for p, q in pairs if p is not None]
+        )).is_one()
+        assert pairing_check_native(pairs) == py
+    assert pairing_check_native(good) is True
+    assert pairing_check_native(bad) is False
