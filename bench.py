@@ -278,10 +278,15 @@ def bench_batch(args, cfg):
                 "vs_baseline": round(baseline / per_proof, 3) if baseline else None,
                 "per_proof_s": round(per_proof, 4), "proofs": B}
 
+    # serial-instance mode with 2-deep pipeline overlap (PP analog,
+    # plonk/pipeline.py): instance i's host phases run while instance
+    # i+1's device phases dispatch
+    from delay_enc_tpu.plonk.pipeline import create_proofs_pipelined
+
     # warm-up on instance 0
     t0 = time.time()
     create_proof(srs, pk, builders[0], np.random.default_rng(0))
-    print(f"# prove warmup {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"# prove warmup {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
     def result(done, total_s):
         per_proof = total_s / done
@@ -295,14 +300,10 @@ def bench_batch(args, cfg):
         }
 
     t0 = time.time()
-    proofs = []
-    for i, b in enumerate(builders):
-        proofs.append(create_proof(srs, pk, b, np.random.default_rng(1 + i)))
-        _emit(result(len(proofs), time.time() - t0))
-        if len(proofs) < B and _left(args) < 1.5 * (time.time() - t0) / len(proofs) + 30:
-            print(f"# budget: stopping after {len(proofs)} proofs",
-                  file=sys.stderr, flush=True)
-            break
+    proofs = create_proofs_pipelined(
+        srs, pk, builders, seeds=list(range(1, B + 1)), depth=2,
+        on_proof=lambda i, p: _emit(result(i + 1, time.time() - t0)),
+    )
     total_s = time.time() - t0
     assert all(verify_proof(srs, vk, p) for p in proofs), "batch proof failed"
     return result(len(proofs), total_s)
@@ -316,6 +317,11 @@ def bench_msm(args, cfg):
     from delay_enc_tpu.ops import msm as M
     from delay_enc_tpu.plonk import SRS
 
+    # above CHUNK_K the full per-SRS pair tables exceed HBM (12.9 GB at
+    # 2^24), so the MSM runs in 2^CHUNK_K-point chunks with tables built
+    # per chunk inside the timed region (one-shot MSM cost model; the
+    # prover's amortized-table regime is the k <= CHUNK_K rows)
+    CHUNK_K = 20
     k_max = args.k or 20
     srs = SRS.setup(k_max, cache_dir=cfg.prover.srs_cache_dir)
     rng = np.random.default_rng(0)
@@ -325,17 +331,37 @@ def bench_msm(args, cfg):
             print("# budget: stopping msm sweep", file=sys.stderr, flush=True)
             break
         n = 1 << k
-        sub = srs.truncated(k)
-        tables = sub.pair_tables()
-        scalars = M.scalars_to_limbs([FR.random(rng) for _ in range(n)])[None]
-        # warm-up + compile (result is host affine — implicit full sync)
-        M.msm_with_tables(tables, scalars)
-        t0 = time.time()
-        reps = 3
-        for _ in range(reps):
-            res = M.msm_with_tables(tables, scalars)
-        dt = (time.time() - t0) / reps
-        sweep[f"2^{k}"] = {"s": round(dt, 4), "points_per_s": round(n / dt)}
+        if k <= CHUNK_K:
+            sub = srs.truncated(k)
+            tables = sub.pair_tables()
+            scalars = M.scalars_to_limbs([FR.random(rng) for _ in range(n)])[None]
+            # warm-up + compile (result is host affine — implicit full sync)
+            M.msm_with_tables(tables, scalars)
+            t0 = time.time()
+            reps = 3
+            for _ in range(reps):
+                res = M.msm_with_tables(tables, scalars)
+            dt = (time.time() - t0) / reps
+            sweep[f"2^{k}"] = {"s": round(dt, 4), "points_per_s": round(n / dt)}
+        else:
+            from delay_enc_tpu.curves.bn254 import G1
+
+            CH = 1 << CHUNK_K
+            scalars = M.scalars_to_limbs([FR.random(rng) for _ in range(n)])[None]
+            # compile warm-up on the first chunk
+            tab0 = M._jit_pair_tables(srs.g1_powers[:CH])
+            M.msm_with_tables(tab0, scalars[:, :CH])
+            del tab0
+            t0 = time.time()
+            acc = None
+            for off in range(0, n, CH):
+                tab = M._jit_pair_tables(srs.g1_powers[off : off + CH])
+                (part,) = M.msm_with_tables(tab, scalars[:, off : off + CH])
+                acc = G1.add(acc, part)
+                del tab
+            dt = time.time() - t0
+            sweep[f"2^{k}"] = {"s": round(dt, 4), "points_per_s": round(n / dt),
+                               "chunked_incl_table_build": True}
         print(f"# msm 2^{k}: {dt:.4f}s = {n/dt:,.0f} pts/s", file=sys.stderr, flush=True)
         peak = max(v["points_per_s"] for v in sweep.values())
         _emit({"metric": "msm_points_per_s_peak", "value": peak,

@@ -147,7 +147,10 @@ class SRS:
     def save(self, path: str) -> None:
         arr = np.asarray(jax.device_get(self.g1_powers))
         tg = self.tau_g2
-        np.savez_compressed(
+        # zstd-compressing multi-GB point arrays takes minutes and the
+        # entropy is near-max anyway; store big SRS files uncompressed
+        savez = np.savez if self.k >= 21 else np.savez_compressed
+        savez(
             path,
             k=self.k,
             g1=arr,

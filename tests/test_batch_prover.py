@@ -75,3 +75,19 @@ def test_batched_sharded_over_mesh(srs):
     )
     for p in proofs:
         assert verify_proof(srs, vk, p)
+
+
+def test_pipelined_proofs_verify(srs):
+    """PP analog: depth-2 instance overlap produces valid, deterministic
+    proofs identical to unpipelined ones with the same seeds."""
+    from delay_enc_tpu.plonk.pipeline import create_proofs_pipelined
+
+    builders = [_build_circuit(4, 9), _build_circuit(6, 13), _build_circuit(2, 3)]
+    pk, vk = keygen(builders[0], srs)
+    proofs = create_proofs_pipelined(srs, pk, builders, seeds=[11, 22, 33], depth=2)
+    for p in proofs:
+        assert verify_proof(srs, vk, p)
+    # determinism vs the serial path (same per-instance rng seeds)
+    serial = [create_proof(srs, pk, b, np.random.default_rng(s))
+              for b, s in zip(builders, [11, 22, 33])]
+    assert proofs == serial
