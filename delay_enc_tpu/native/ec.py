@@ -152,3 +152,36 @@ def pairing_check_native(pairs):
     if rc < 0:
         return None
     return bool(rc)
+
+
+_FR_CONSTS = None
+
+
+def _fr_consts():
+    global _FR_CONSTS
+    if _FR_CONSTS is None:
+        from ..fields.bn254 import FR
+
+        p = FR.p
+        pw = np.frombuffer(p.to_bytes(32, "little"), dtype="<u8").copy()
+        r2 = ((1 << 256) % p) ** 2 % p
+        r2w = np.frombuffer(r2.to_bytes(32, "little"), dtype="<u8").copy()
+        n0 = (-pow(p, -1, 1 << 64)) % (1 << 64)
+        _FR_CONSTS = (pw, r2w, n0)
+    return _FR_CONSTS
+
+
+def uniform_to_fr_mont(raw: np.ndarray):
+    """(n, 64) LE uniform bytes -> (n, 16) uint32 Montgomery Fr limbs via
+    the C wide reduction, or None when the C library is missing."""
+    lib = get_eclib()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    n = raw.shape[0]
+    out = np.empty((n, 16), dtype=np.uint32)
+    pw, r2w, n0 = _fr_consts()
+    lib.fr_from_uniform_mont(
+        raw.ctypes.data, n, pw.ctypes.data, r2w.ctypes.data, n0, out.ctypes.data
+    )
+    return out

@@ -314,7 +314,14 @@ def _ll_select16(opts_ll, sel):
     return tuple(out)
 
 
-PLANE_CHUNK = 16
+# planes per _jit_plane_sums launch: more planes per chunk amortize the
+# per-launch overhead of the tunnel transport across fewer lax.map steps
+# at the cost of proportionally larger level-0 intermediates (~25 MB per
+# plane at n=2^16).  Env-tunable for TPU experiments; changing it changes
+# the compiled shapes (fresh compile).
+import os as _os
+
+PLANE_CHUNK = int(_os.environ.get("DELAY_ENC_PLANE_CHUNK", "16"))
 
 
 @jax.jit

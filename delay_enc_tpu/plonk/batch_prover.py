@@ -233,9 +233,11 @@ def create_proofs_batched(srs, pk: ProvingKey, builders, rng=None, mesh=None,
         trs[i // 5].write_point(pt)
 
     # ---- 4. random poly -------------------------------------------------
-    random_coeff = jnp.asarray(
-        ctx.to_mont_np([_rand_fr(rng) for _ in range(B * n)])
-    ).reshape(B, n, L.NLIMB)
+    from .prover import _rand_fr_mont_bulk
+
+    random_coeff = jnp.asarray(_rand_fr_mont_bulk(rng, B * n)).reshape(
+        B, n, L.NLIMB
+    )
     for i, pt in enumerate(commit_rows(random_coeff)):
         trs[i].write_point(pt)
 

@@ -71,6 +71,20 @@ def _rand_fr(rng) -> int:
     return FR.from_uniform_bytes(bytes(rng.integers(0, 256, 64, dtype="uint8")))
 
 
+def _rand_fr_mont_bulk(rng, count: int) -> np.ndarray:
+    """count wide-reduced random Fr as (count, 16) Montgomery limbs — C
+    fast path (~15 ms at 2^16 vs ~0.2 s Python bigints), Python fallback."""
+    raw = rng.integers(0, 256, (count, 64), dtype="uint8")
+    from ..native.ec import uniform_to_fr_mont
+
+    out = uniform_to_fr_mont(raw)
+    if out is not None:
+        return out
+    return CTX.to_mont_np(
+        [FR.from_uniform_bytes(bytes(raw[i])) for i in range(count)]
+    )
+
+
 def _table_keys(tbl_tags, tbl_vals, usable: int, theta: int):
     """Lookup permutation support: the range table's rows as u32 pair keys
     (tag << 16 | value) padded with zeros to `usable` rows, plus the map
@@ -372,7 +386,7 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     _phase("grand products")
 
     # ---- 4. random poly ----------------------------------------------
-    random_coeff = jnp.asarray(ctx.to_mont_np([_rand_fr(rng) for _ in range(n)]))
+    random_coeff = jnp.asarray(_rand_fr_mont_bulk(rng, n))
     tr.write_point(commit_coeff(random_coeff))
 
     # ---- 5. quotient ---------------------------------------------------

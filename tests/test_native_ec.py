@@ -71,3 +71,17 @@ def test_fold_planes_base8():
     for i, p in enumerate(pts):
         acc = G1.add(acc, G1.mul(p, 8**i))
     assert got == acc
+
+
+def test_uniform_to_fr_mont_matches_python():
+    from delay_enc_tpu.fields.bn254 import FR
+    from delay_enc_tpu.native.ec import uniform_to_fr_mont
+    from delay_enc_tpu.ops import limbs as L
+
+    rng = np.random.default_rng(21)
+    raw = rng.integers(0, 256, (7, 64), dtype=np.uint8)
+    got = uniform_to_fr_mont(raw)
+    expect = L.FR_CTX.to_mont_np(
+        [FR.from_uniform_bytes(bytes(raw[i])) for i in range(7)]
+    )
+    assert (got == expect).all()
