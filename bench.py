@@ -250,7 +250,10 @@ def bench_batch(args, cfg):
     from delay_enc_tpu.plonk.batch_prover import create_proofs_batched
     from delay_enc_tpu.plonk.keygen import min_k
 
-    B = args.batch
+    k_guess = args.k or cfg.prover.k or 16
+    # default B: the batched quotient holds B instances' extended stacks
+    # live (~0.7 GB each at k=16) — 4 fits a 16 GB chip comfortably
+    B = args.batch or (4 if k_guess >= 16 else 8)
     builders = [build_circuit("delay_enc", cfg, seed=100 + i) for i in range(B)]
     k = args.k or cfg.prover.k or max(min_k(builders[0]), 16)
     srs = SRS.setup(k, cache_dir=cfg.prover.srs_cache_dir)
@@ -426,7 +429,9 @@ def main():
                     choices=["delay_enc", "mod_pow", "pose_enc", "batch", "msm", "ntt"])
     ap.add_argument("--k", type=int, default=None)
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="batch workload instance count (default: 4 at "
+                         "k>=16, else 8)")
     ap.add_argument("--serial", action="store_true",
                     help="batch workload: B sequential proofs instead of the "
                          "DP-batched pipeline")
