@@ -49,22 +49,26 @@ OPTS = 256  # (d_even + 16 * d_odd) pair selectors
 
 # ------------------------------------------------------------- table build
 
-@jax.jit
+_jit_add_batch = jax.jit(complete_add)
+
+
 def _jit_pair_tables16(points: jnp.ndarray) -> jnp.ndarray:
     """(n,3,16) projective Montgomery -> (256, n/2, 3, 16) uint16 base-16
     pair tables: option[ce + 16*co] = ce*P_even + co*P_odd.  Built once per
-    SRS (refs ops/msm.py:_jit_pair_tables for the base-4 analogue)."""
+    SRS (refs ops/msm.py:_jit_pair_tables for the base-4 analogue).
+
+    Composed from ~45 calls of ONE jitted batched complete-add rather than
+    a single jit: tracing 45 unrolled limb-row additions into one graph is
+    ~700K HLO ops (hours of XLA compile); one add is ~16K and compiles in
+    minutes, then every call reuses it."""
     pe, po = points[0::2], points[1::2]
     inf = jnp.broadcast_to(identity_proj(), pe.shape)
 
     def multiples(p):
         """[0P, 1P, ..., 15P] via batched double/add chains."""
         out = [inf, p]
-        p2 = complete_add(p, p)
-        out.append(p2)
-        # 3..15: one batched add per value (k*P = (k-1)*P + P)
-        for k in range(3, 16):
-            out.append(complete_add(out[k - 1], p))
+        for k in range(2, 16):
+            out.append(_jit_add_batch(out[k - 1], p))
         return out
 
     e_opts = multiples(pe)
@@ -74,10 +78,12 @@ def _jit_pair_tables16(points: jnp.ndarray) -> jnp.ndarray:
         opts[ce] = e_opts[ce]
     for co in range(1, 16):
         opts[16 * co] = o_opts[co]
-    # 225 cross sums in batched adds (15 launch groups of 15)
+    # 225 cross sums: 15 batched adds of 15-wide concatenations (a separate
+    # 15x-wide jit shape; acceptable second compile, or fall back to per-ce
+    # adds of the base shape)
     m = pe.shape[0]
     for co in range(1, 16):
-        cross = complete_add(
+        cross = _jit_add_batch(
             jnp.concatenate([e_opts[ce] for ce in range(1, 16)], axis=0),
             jnp.concatenate([o_opts[co]] * 15, axis=0),
         )
