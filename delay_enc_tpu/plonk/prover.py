@@ -475,13 +475,17 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     _phase("evals")
 
     # ---- 7. GWC multiopen ---------------------------------------------
+    # the three W commitments share one challenge phase (no transcript
+    # absorption between them), so their MSMs batch into one launch set
     v = tr.challenge()
     v_m0 = jnp.asarray(ctx.to_mont_np([v]))[0]
+    ws = []
     for key, point in (("x", x), ("wx", x_w), ("winvx", x_winv)):
         z_m = jnp.asarray(ctx.to_mont_np([point]))[0]
         zinv_m = jnp.asarray(ctx.to_mont_np([pow(point, -1, FR.p)]))[0]
-        w = _jit_gwc_witness(stacks[key], v_m0, z_m, zinv_m)
-        tr.write_point(commit_coeff(w))
+        ws.append(_jit_gwc_witness(stacks[key], v_m0, z_m, zinv_m))
+    for pt in commit_many(ws):
+        tr.write_point(pt)
     _phase("gwc")
 
     return bytes(tr.data)
