@@ -243,7 +243,11 @@ def g1_from_bytes(b: bytes):
         raise ValueError("non-canonical x coordinate")
     if x == 0 and not ysign:
         return None
-    y = FQ.sqrt((x * x * x + B1) % P)
+    from ..native.ec import fq_sqrt_host
+
+    y = fq_sqrt_host((x * x * x + B1) % P)
+    if y == "unavailable":
+        y = FQ.sqrt((x * x * x + B1) % P)
     if y is None:
         raise ValueError("not on curve")
     if (y & 1) != ysign:

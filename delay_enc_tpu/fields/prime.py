@@ -59,10 +59,13 @@ class PrimeField:
         a %= p
         if a == 0:
             return 0
+        if p % 4 == 3:
+            # candidate-then-verify: one modexp instead of a Legendre
+            # pre-check plus the root exponentiation
+            r = pow(a, (p + 1) // 4, p)
+            return r if r * r % p == a else None
         if pow(a, (p - 1) // 2, p) != 1:
             return None
-        if p % 4 == 3:
-            return pow(a, (p + 1) // 4, p)
         # general Tonelli-Shanks
         q, s = p - 1, 0
         while q % 2 == 0:

@@ -100,6 +100,11 @@ def get_eclib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
     ]
     lib.pairing_check_prepared.restype = ctypes.c_int
+    lib.fq_sqrt.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
+        ctypes.c_void_p,
+    ]
+    lib.fq_sqrt.restype = ctypes.c_int
     lib.fr_from_uniform_mont.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,

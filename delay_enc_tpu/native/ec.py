@@ -88,6 +88,27 @@ def msm_host(scalars, points, order: int):
     )
 
 
+def fq_sqrt_host(a: int):
+    """Square root of a mod the BN254 base field p (p = 3 mod 4) via the
+    C kernel: one 254-bit modexp in C instead of Python's `pow`.  Returns
+    the root (parity unspecified), None if a is a non-residue, or the
+    string "unavailable" when the C library is missing."""
+    lib = get_eclib()
+    if lib is None:
+        return "unavailable"
+    out = np.empty(32, dtype=np.uint8)
+    pw, r2w, n0 = _consts()
+    rc = lib.fq_sqrt(
+        (a % _P).to_bytes(32, "little"), pw.ctypes.data, r2w.ctypes.data, n0,
+        out.ctypes.data,
+    )
+    if rc < 0:
+        return "unavailable"
+    if rc == 0:
+        return None
+    return int.from_bytes(out.tobytes(), "little")
+
+
 # ---- native pairing check (prepared lines) -------------------------------
 
 _PAIRING_CONSTS = None

@@ -24,6 +24,7 @@
 
 #include <stdint.h>
 #include <stddef.h>
+#include <stdlib.h>
 #include <string.h>
 
 typedef unsigned __int128 u128;
@@ -125,6 +126,16 @@ static void fe_inv(const fctx *c, const u256 *a, u256 *out) {
     u256 r = c->one, base = *a;
     for (int i = 0; i < 256; i++) {
         if ((e.w[i >> 6] >> (i & 63)) & 1) fe_mul(c, &r, &base, &r);
+        fe_mul(c, &base, &base, &base);
+    }
+    *out = r;
+}
+
+/* a^e (e canonical u256), Montgomery domain, LSB-first square-and-multiply. */
+static void fe_pow(const fctx *c, const u256 *a, const u256 *e, u256 *out) {
+    u256 r = c->one, base = *a;
+    for (int i = 0; i < 256; i++) {
+        if ((e->w[i >> 6] >> (i & 63)) & 1) fe_mul(c, &r, &base, &r);
         fe_mul(c, &base, &base, &base);
     }
     *out = r;
@@ -317,51 +328,195 @@ static void pj_add_affine(const fctx *c, pjac *P, const u256 *qx, const u256 *qy
     if (fe_is_zero(&Z3)) P->inf = 1;
 }
 
-/* Multi-scalar multiplication (Straus shared-doubling, bit-serial with
- * affine mixed adds).  points: (n, 64) canonical affine LE x||y bytes
- * (all-zero row = identity); scalars: (n, 32) canonical LE bytes.
+/* add-2007-bl: P (Jacobian) += Q (Jacobian) */
+static void pj_add(const fctx *c, pjac *P, const pjac *Q) {
+    if (Q->inf) return;
+    if (P->inf) { *P = *Q; return; }
+    u256 Z1Z1, Z2Z2, U1, U2, S1, S2, t;
+    fe_mul(c, &P->z, &P->z, &Z1Z1);
+    fe_mul(c, &Q->z, &Q->z, &Z2Z2);
+    fe_mul(c, &P->x, &Z2Z2, &U1);
+    fe_mul(c, &Q->x, &Z1Z1, &U2);
+    fe_mul(c, &P->y, &Q->z, &t); fe_mul(c, &t, &Z2Z2, &S1);
+    fe_mul(c, &Q->y, &P->z, &t); fe_mul(c, &t, &Z1Z1, &S2);
+    u256 H, R;
+    fe_sub(c, &U2, &U1, &H);
+    fe_sub(c, &S2, &S1, &R);
+    if (fe_is_zero(&H)) {
+        if (fe_is_zero(&R)) { pj_double(c, P); return; }
+        P->inf = 1; return;
+    }
+    fe_add(c, &R, &R, &R);
+    u256 I, J, V;
+    fe_add(c, &H, &H, &t);
+    fe_mul(c, &t, &t, &I);
+    fe_mul(c, &H, &I, &J);
+    fe_mul(c, &U1, &I, &V);
+    u256 X3, Y3, Z3;
+    fe_mul(c, &R, &R, &X3);
+    fe_sub(c, &X3, &J, &X3);
+    fe_sub(c, &X3, &V, &t); fe_sub(c, &t, &V, &X3);
+    fe_sub(c, &V, &X3, &t);
+    fe_mul(c, &R, &t, &Y3);
+    u256 s1j;
+    fe_mul(c, &S1, &J, &s1j);
+    fe_add(c, &s1j, &s1j, &s1j);
+    fe_sub(c, &Y3, &s1j, &Y3);
+    fe_add(c, &P->z, &Q->z, &Z3);
+    fe_mul(c, &Z3, &Z3, &Z3);
+    fe_sub(c, &Z3, &Z1Z1, &Z3);
+    fe_sub(c, &Z3, &Z2Z2, &Z3);
+    fe_mul(c, &Z3, &H, &Z3);
+    P->x = X3; P->y = Y3; P->z = Z3;
+    if (fe_is_zero(&Z3)) P->inf = 1;
+}
+
+/* w=4 wNAF recoding of a canonical 32-byte LE scalar: odd digits in
+ * [-7, 7], at most one nonzero in any 4 consecutive positions.  Returns
+ * the digit count (<= 257).  out must hold 257 entries. */
+static int wnaf4(const uint8_t *sc, int8_t *out) {
+    uint64_t k[5];
+    memcpy(k, sc, 32);
+    k[4] = 0;
+    int len = 0;
+    while (k[0] | k[1] | k[2] | k[3] | k[4]) {
+        int d = 0;
+        if (k[0] & 1) {
+            d = (int)(k[0] & 15);
+            if (d >= 8) d -= 16;
+            if (d >= 0) {           /* k -= d */
+                uint64_t borrow = (uint64_t)d;
+                for (int i = 0; i < 5 && borrow; i++) {
+                    uint64_t nw = k[i] - borrow;
+                    borrow = nw > k[i];
+                    k[i] = nw;
+                }
+            } else {                /* k += |d| */
+                uint64_t carry = (uint64_t)(-d);
+                for (int i = 0; i < 5 && carry; i++) {
+                    uint64_t nw = k[i] + carry;
+                    carry = nw < k[i];
+                    k[i] = nw;
+                }
+            }
+        }
+        out[len++] = (int8_t)d;
+        for (int i = 0; i < 4; i++) k[i] = (k[i] >> 1) | (k[i + 1] << 63);
+        k[4] >>= 1;
+    }
+    return len;
+}
+
+/* Multi-scalar multiplication (Straus shared-doubling over w=4 wNAF
+ * digits with per-point odd-multiple tables {1,3,5,7}P batch-normalized
+ * to affine for mixed adds).  points: (n, 64) canonical affine LE x||y
+ * bytes (all-zero row = identity); scalars: (n, 32) canonical LE bytes.
  * out: 64 bytes canonical affine.  Returns 0 for identity result. */
 int g1_msm(const uint8_t *points, const uint8_t *scalars, size_t n,
            const uint64_t *p_words, const uint64_t *r2_words, uint64_t n0inv,
            uint8_t *out) {
-    if (n > 8192) return -1;  /* verifier-scale API (stack-allocated) */
+    if (n > 8192) return -1;  /* verifier-scale API */
     fctx c;
     fctx_init(&c, p_words, r2_words, n0inv);
-    /* load + Montgomery-ize the points; find the top scalar bit */
-    int top = -1;
-    for (size_t i = 0; i < n; i++) {
-        for (int bit = 255; bit > top; bit--) {
-            if ((scalars[32 * i + (bit >> 3)] >> (bit & 7)) & 1) { top = bit; break; }
-        }
-    }
     memset(out, 0, 64);
-    if (top < 0) return 0;
-    /* Montgomery affine coords, skipping identity/zero-scalar entries */
-    u256 *mx = (u256 *)__builtin_alloca(sizeof(u256) * n);
-    u256 *my = (u256 *)__builtin_alloca(sizeof(u256) * n);
-    uint8_t *live = (uint8_t *)__builtin_alloca(n);
+    if (n == 0) return 0;
+    /* Montgomery affine coords, skipping identity/zero-scalar entries;
+     * wNAF digit strings per live scalar */
+    u256 *mx = (u256 *)malloc(sizeof(u256) * n);
+    u256 *my = (u256 *)malloc(sizeof(u256) * n);
+    uint8_t *live = (uint8_t *)malloc(n);
+    int8_t *dig = (int8_t *)malloc(n * 257);
+    int *dlen = (int *)malloc(n * sizeof(int));
+    /* odd-multiple tables {1,3,5,7}P: Jacobian scratch, then affine */
+    pjac *tj = (pjac *)malloc(sizeof(pjac) * 4 * n);
+    u256 *tx = (u256 *)malloc(sizeof(u256) * 4 * n);
+    u256 *ty = (u256 *)malloc(sizeof(u256) * 4 * n);
+    u256 *zs = (u256 *)malloc(sizeof(u256) * 4 * n);
+    u256 *pre = (u256 *)malloc(sizeof(u256) * 4 * n);
+    if (!mx || !my || !live || !dig || !dlen || !tj || !tx || !ty || !zs || !pre) {
+        free(mx); free(my); free(live); free(dig); free(dlen);
+        free(tj); free(tx); free(ty); free(zs); free(pre);
+        return -1;
+    }
+    int maxlen = 0;
     for (size_t i = 0; i < n; i++) {
         u256 x, y;
         memcpy(x.w, points + 64 * i, 32);
         memcpy(y.w, points + 64 * i + 32, 32);
         int pt_zero = fe_is_zero(&x) && fe_is_zero(&y);
-        int sc_zero = 1;
-        for (int j = 0; j < 32; j++) if (scalars[32 * i + j]) { sc_zero = 0; break; }
-        live[i] = !(pt_zero || sc_zero);
+        live[i] = !pt_zero;
+        if (live[i]) {
+            dlen[i] = wnaf4(scalars + 32 * i, dig + 257 * i);
+            if (dlen[i] == 0) live[i] = 0;   /* zero scalar */
+            if (dlen[i] > maxlen) maxlen = dlen[i];
+        }
         if (live[i]) {
             fe_mul(&c, &x, &c.r2, &mx[i]);
             fe_mul(&c, &y, &c.r2, &my[i]);
         }
     }
-    pjac acc;
-    acc.inf = 1;
-    for (int bit = top; bit >= 0; bit--) {
-        pj_double(&c, &acc);
-        for (size_t i = 0; i < n; i++) {
-            if (live[i] && ((scalars[32 * i + (bit >> 3)] >> (bit & 7)) & 1))
-                pj_add_affine(&c, &acc, &mx[i], &my[i]);
+    if (maxlen == 0) {
+        free(mx); free(my); free(live); free(dig); free(dlen);
+        free(tj); free(tx); free(ty); free(zs); free(pre);
+        return 0;
+    }
+    /* Jacobian odd multiples; all entries finite (prime group order) */
+    size_t m = 0;
+    for (size_t i = 0; i < n; i++) {
+        if (!live[i]) continue;
+        pjac p2;
+        tj[4 * i].x = mx[i]; tj[4 * i].y = my[i];
+        tj[4 * i].z = c.one; tj[4 * i].inf = 0;
+        p2 = tj[4 * i];
+        pj_double(&c, &p2);
+        for (int j = 1; j < 4; j++) {
+            tj[4 * i + j] = tj[4 * i + j - 1];
+            pj_add(&c, &tj[4 * i + j], &p2);
+        }
+        for (int j = 0; j < 4; j++) zs[m++] = tj[4 * i + j].z;
+    }
+    /* batch-normalize tables to affine (one field inversion total) */
+    {
+        u256 acc_z = c.one, inv, zi, zi2;
+        for (size_t t = 0; t < m; t++) {
+            pre[t] = acc_z;
+            fe_mul(&c, &acc_z, &zs[t], &acc_z);
+        }
+        fe_inv(&c, &acc_z, &inv);
+        size_t t = m;
+        for (size_t i2 = n; i2-- > 0;) {
+            if (!live[i2]) continue;
+            for (int j = 4; j-- > 0;) {
+                t--;
+                fe_mul(&c, &inv, &pre[t], &zi);
+                fe_mul(&c, &inv, &zs[t], &inv);
+                fe_mul(&c, &zi, &zi, &zi2);
+                fe_mul(&c, &tj[4 * i2 + j].x, &zi2, &tx[4 * i2 + j]);
+                fe_mul(&c, &tj[4 * i2 + j].y, &zi2, &ty[4 * i2 + j]);
+                fe_mul(&c, &ty[4 * i2 + j], &zi, &ty[4 * i2 + j]);
+            }
         }
     }
+    pjac acc;
+    acc.inf = 1;
+    for (int j = maxlen - 1; j >= 0; j--) {
+        pj_double(&c, &acc);
+        for (size_t i = 0; i < n; i++) {
+            if (!live[i] || j >= dlen[i]) continue;
+            int d = dig[257 * i + j];
+            if (d == 0) continue;
+            int idx = (d > 0 ? d : -d) >> 1;
+            if (d > 0) {
+                pj_add_affine(&c, &acc, &tx[4 * i + idx], &ty[4 * i + idx]);
+            } else {
+                u256 ny, zero = {{0, 0, 0, 0}};
+                fe_sub(&c, &zero, &ty[4 * i + idx], &ny);
+                pj_add_affine(&c, &acc, &tx[4 * i + idx], &ny);
+            }
+        }
+    }
+    free(mx); free(my); free(live); free(dig); free(dlen);
+    free(tj); free(tx); free(ty); free(zs); free(pre);
     if (acc.inf) return 0;
     u256 zi, zi2, xa, ya, lit_one = {{1, 0, 0, 0}};
     fe_inv(&c, &acc.z, &zi);
@@ -373,6 +528,39 @@ int g1_msm(const uint8_t *points, const uint8_t *scalars, size_t n,
     fe_mul(&c, &ya, &lit_one, &ya);
     memcpy(out, xa.w, 32);
     memcpy(out + 32, ya.w, 32);
+    return 1;
+}
+
+/* Square root mod p for p = 3 (mod 4): y = a^((p+1)/4), verified by
+ * squaring.  a: canonical 32-byte LE (< p); out: canonical 32-byte LE.
+ * Returns 1 if a is a quadratic residue (root written), 0 if not,
+ * -1 if p != 3 (mod 4).  Used by G1 point decompression (the verifier
+ * reads ~30 compressed commitments per proof; a Python modexp per point
+ * was the single largest verify cost). */
+int fq_sqrt(const uint8_t *a_bytes, const uint64_t *p_words,
+            const uint64_t *r2_words, uint64_t n0inv, uint8_t *out) {
+    fctx c;
+    fctx_init(&c, p_words, r2_words, n0inv);
+    if ((c.p.w[0] & 3) != 3) return -1;
+    u256 a, am, e, y, y2;
+    memcpy(a.w, a_bytes, 32);
+    if (fe_is_zero(&a)) { memset(out, 0, 32); return 1; }
+    fe_mul(&c, &a, &c.r2, &am);
+    /* e = (p + 1) / 4 = (p >> 2) + 1 */
+    for (int i = 0; i < 4; i++)
+        e.w[i] = (c.p.w[i] >> 2) | (i < 3 ? c.p.w[i + 1] << 62 : 0);
+    u128 s = (u128)e.w[0] + 1;
+    e.w[0] = (uint64_t)s;
+    for (int i = 1; i < 4 && (s >> 64); i++) {
+        s = (u128)e.w[i] + 1;
+        e.w[i] = (uint64_t)s;
+    }
+    fe_pow(&c, &am, &e, &y);
+    fe_mul(&c, &y, &y, &y2);
+    if (memcmp(y2.w, am.w, 32) != 0) return 0;
+    u256 lit_one = {{1, 0, 0, 0}};
+    fe_mul(&c, &y, &lit_one, &y);    /* out of Montgomery form */
+    memcpy(out, y.w, 32);
     return 1;
 }
 

@@ -44,6 +44,44 @@ def test_msm_host_cancellation_to_identity():
     assert msm_host([1, 1], [p1, G1.neg(p1)], FR.p) is None
 
 
+def test_msm_host_randomized_vs_oracle():
+    """Fuzz the wNAF windowed MSM (full-width scalars, identity rows, zero
+    scalars, duplicate bases) against the naive double-and-add oracle."""
+    rng = np.random.default_rng(11)
+    base_pts = _rand_points(rng, 6)
+    for _ in range(8):
+        n = int(rng.integers(1, 24))
+        pts, scalars = [], []
+        for _ in range(n):
+            r = rng.random()
+            pts.append(None if r < 0.1 else base_pts[int(rng.integers(6))])
+            scalars.append(
+                0 if r > 0.9 else int.from_bytes(rng.bytes(32), "little") % FR.p
+            )
+        assert msm_host(scalars, pts, FR.p) == G1.msm(scalars, pts)
+
+
+def test_fq_sqrt_matches_python():
+    from delay_enc_tpu.fields.bn254 import FQ
+    from delay_enc_tpu.native.ec import fq_sqrt_host
+
+    rng = np.random.default_rng(12)
+    hits = misses = 0
+    for _ in range(40):
+        a = int.from_bytes(rng.bytes(32), "little") % FQ.p
+        want = FQ.sqrt(a)
+        got = fq_sqrt_host(a)
+        assert got != "unavailable"
+        if want is None:
+            assert got is None
+            misses += 1
+        else:
+            assert got in (want, FQ.p - want) and got * got % FQ.p == a
+            hits += 1
+    assert hits and misses  # both branches exercised
+    assert fq_sqrt_host(0) == 0
+
+
 def test_fold_planes_matches_python_horner():
     from delay_enc_tpu.ops import msm as M
 
