@@ -92,14 +92,34 @@ BASELINES = {
     # (workload, k) -> seconds from BASELINE.md
     ("delay_enc", 16): 3.7977,
     ("delay_enc", 17): 7.4216,
+    ("delay_enc", 18): 13.397,
+    ("delay_enc", 19): 23.841,
     ("mod_pow", 16): 3.5665,  # k=16 5-bit T row
     ("mod_pow", 17): 6.2824,
+    ("mod_pow", 18): 13.601,
+    ("mod_pow", 19): 23.828,
     ("pose_enc", 11): 0.13967,
     ("batch", 16): 3.7977,  # per-proof baseline: serial reference prover
 }
 
+# Exponent bit-size |T| per (workload, k), matching the BASELINE.md row the
+# vs_baseline ratio compares against (the reference grows the circuit with
+# k by widening the exponent, ~8K rows/bit — benches/README.md:52-82).  The
+# k=16 rows keep T=5 (the baseline row is the *smaller* 3-bit/5-bit
+# circuit, so the comparison is conservative).
+T_BITS = {
+    ("delay_enc", 16): 5,
+    ("delay_enc", 17): 15,  # 7.4216 s row (130248 rows)
+    ("delay_enc", 18): 31,  # 13.397 s row (257948 rows)
+    ("delay_enc", 19): 32,  # 23.841 s row (265929 rows)
+    ("mod_pow", 16): 5,
+    ("mod_pow", 17): 8,  # 6.2824 s row
+    ("mod_pow", 18): 31,  # 13.601 s row
+    ("mod_pow", 19): 33,  # 23.828 s row
+}
 
-def build_circuit(workload: str, cfg, seed: int = 42):
+
+def build_circuit(workload: str, cfg, seed: int = 42, k: int | None = None):
     from delay_enc_tpu.fields import FR
     from delay_enc_tpu.poseidon import get_spec
 
@@ -108,9 +128,13 @@ def build_circuit(workload: str, cfg, seed: int = 42):
     spec = get_spec(FR, cc.t, cc.rate, cc.r_f, cc.r_p)
 
     def rand_bits(bits):
+        # rejection-sample to exactly `bits` bits (stream-compatible with
+        # earlier rounds' artifact caches for the byte-aligned n/x draws)
         v = 0
         while v.bit_length() != bits:
-            v = int.from_bytes(bytes(rng.integers(0, 256, bits // 8, dtype="uint8")), "little")
+            nbytes = (bits + 7) // 8
+            v = int.from_bytes(bytes(rng.integers(0, 256, nbytes, dtype="uint8")), "little")
+            v &= (1 << bits) - 1
         return v
 
     if workload == "pose_enc":
@@ -122,17 +146,23 @@ def build_circuit(workload: str, cfg, seed: int = 42):
         return PoseidonEncCircuit(
             spec=spec, num_input=2, message=[0, 0], key=key, expected=expected
         ).build()
+    t_bits = T_BITS.get((workload, k), cc.exp_limb_bits)
     n = rand_bits(cc.bits_len)
-    e = int(rng.integers(1, 1 << cc.exp_limb_bits))  # 5-bit window (lib.rs:124)
+    if t_bits == cc.exp_limb_bits:
+        # default window (lib.rs:124); draw kept stream/value-compatible
+        # with earlier rounds so cached pk/vk artifacts stay valid
+        e = int(rng.integers(1, 1 << t_bits))
+    else:
+        e = rand_bits(t_bits) | (1 << (t_bits - 1))  # |T|-bit, full ladder
     x = rand_bits(cc.bits_len) % n
     if workload == "mod_pow":
         from delay_enc_tpu.models import RSACircuit
 
-        return RSACircuit(n=n, e=e, x=x, field=FR).build()
+        return RSACircuit(n=n, e=e, x=x, field=FR, exp_limb_bits=t_bits).build()
     from delay_enc_tpu.models import DelayEncryptCircuit
 
     return DelayEncryptCircuit(
-        n=n, e=e, x=x, spec=spec, num_input=2, message=[0, 0]
+        n=n, e=e, x=x, spec=spec, num_input=2, message=[0, 0], exp_limb_bits=t_bits
     ).build()
 
 
@@ -169,11 +199,13 @@ def bench_prove(args, cfg):
     from delay_enc_tpu.utils.timers import GLOBAL_METRICS
 
     t0 = time.time()
-    builder = build_circuit(args.workload, cfg)
+    k_target = args.k or cfg.prover.k  # may widen the circuit (T_BITS)
+    builder = build_circuit(args.workload, cfg, k=k_target)
     build_s = time.time() - t0
-    k = args.k or cfg.prover.k or max(
+    k = k_target or max(
         min_k(builder), {"pose_enc": 11, "mod_pow": 16, "delay_enc": 16}[args.workload]
     )
+    assert min_k(builder) <= k, f"circuit needs k>={min_k(builder)}, got {k}"
     print(f"# {args.workload}: rows={builder.rows} k={k} build={build_s:.2f}s "
           f"budget={args.budget:.0f}s", file=sys.stderr, flush=True)
     baseline = BASELINES.get((args.workload, k))

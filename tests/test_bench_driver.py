@@ -33,3 +33,25 @@ def test_config_roundtrip(tmp_path):
 def test_baselines_cover_wired_workloads():
     for key in (("delay_enc", 16), ("delay_enc", 17), ("mod_pow", 17), ("pose_enc", 11)):
         assert key in bench.BASELINES, key
+    # every T_BITS row compares against a recorded baseline
+    for key in bench.T_BITS:
+        assert key in bench.BASELINES, key
+
+
+def test_t_bits_widen_circuit_to_target_k():
+    """--k 17/18 must prove the BASELINE row's |T|-bit circuit, not the
+    5-bit k=16 circuit in a bigger domain (benches/README.md:59-63)."""
+    from delay_enc_tpu.plonk.keygen import min_k
+
+    cfg = Config()
+    b = bench.build_circuit("delay_enc", cfg, k=17)
+    assert min_k(b) == 17 and b.rows > 100_000, b.rows
+
+
+def test_widened_exponent_circuit_is_constraint_valid():
+    """8-bit-T mod_pow (the k=17 baseline row) mock-proves clean."""
+    from delay_enc_tpu.cs.mock import mock_failures
+
+    b = bench.build_circuit("mod_pow", Config(), k=17)
+    assert b.rows > 55_000
+    assert mock_failures(b) == []
