@@ -160,6 +160,19 @@ class SRS:
         )
 
     @staticmethod
+    def load_host_meta(path: str) -> "SRS":
+        """Verifier-only SRS view: reads just k and tau_g2 from the cache
+        file, never touching the (multi-GB) g1 powers or any device — the
+        host verifier needs only `prepared_pair()` (verifier.py:230).
+        Lets `bench.py --workload verify` bank a metric with the PJRT
+        relay down."""
+        from ..fields.bn254 import Fq2
+
+        z = np.load(path, allow_pickle=True)
+        t = [int(s) for s in z["tau_g2"]]
+        return SRS(int(z["k"]), None, (Fq2(t[0], t[1]), Fq2(t[2], t[3])), G2_GEN)
+
+    @staticmethod
     def load(path: str) -> "SRS":
         import jax.numpy as jnp
         from ..fields.bn254 import Fq2

@@ -257,7 +257,10 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
             GLOBAL_METRICS.spans.get(f"prove/{name}", 0.0) + now - _t[0]
         )
         if profile:
-            print(f"#   phase {name}: {now - _t[0]:.2f}s", flush=True)
+            # stderr: stdout is reserved for JSON metric lines (bench.py)
+            import sys as _sys
+
+            print(f"#   phase {name}: {now - _t[0]:.2f}s", file=_sys.stderr, flush=True)
         _t[0] = now
 
     if rng is None:

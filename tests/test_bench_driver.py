@@ -48,6 +48,28 @@ def test_t_bits_widen_circuit_to_target_k():
     assert min_k(b) == 17 and b.rows > 100_000, b.rows
 
 
+def test_auto_mode_always_emits_metric_line():
+    """The driver invocation (plain `python bench.py`) must exit 0 with a
+    parsable final JSON line even when the budget is hopeless — rounds 2
+    and 3 both returned rc=124 with no metric (VERDICT.md); this locks the
+    guarantee."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_BUDGET_S="40")
+    r = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        timeout=120, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    assert lines, r.stdout
+    final = json.loads(lines[-1])
+    assert "metric" in final and "value" in final and "vs_baseline" in final
+
+
 def test_widened_exponent_circuit_is_constraint_valid():
     """8-bit-T mod_pow (the k=17 baseline row) mock-proves clean."""
     from delay_enc_tpu.cs.mock import mock_failures

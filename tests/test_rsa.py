@@ -145,3 +145,45 @@ def test_pkcs1v15_bad_signature(rsa_keypair):
     is_valid, _ = verifier.verify_pkcs1v15_signature(pk, digest, sig_a)
     assert is_valid.value == 0
     assert mock_failures(b) == []  # circuit is satisfied; the bit reports invalid
+
+
+def test_pkcs1v15_signature_instance_bound(rsa_keypair):
+    """Instance-bound verification: n limbs + hash bytes exposed as public
+    inputs, exactly like the reference's TestRSASignatureWithHashCircuit
+    (rsa/mod.rs:456-474 exposes n limbs then hashed-msg bytes on the
+    instance column).  Tampering any public slot must break the copy
+    constraint."""
+    n, e, d = rsa_keypair
+    msg = b"instance-bound rsa on TPU"
+    em, digest = _pkcs1v15_em(msg, BITS // 8)
+    sig = pow(int.from_bytes(em, "big"), d, n)
+
+    def build():
+        b = Builder(FR)
+        chip = RSAChip(b, BITS, 5)
+        pk = chip.assign_public_key(RSAPublicKey.fix(n, e, NUM_LIMBS))
+        sig_a = chip.assign_signature(RSASignature.from_int(sig, NUM_LIMBS))
+        verifier = RSASignatureVerifier(chip)
+        is_valid, byte_cells = verifier.verify_pkcs1v15_signature(pk, digest, sig_a)
+        chip.main_gate().assert_one(is_valid)
+        # expose n limbs, then hash bytes (reference ordering, mod.rs:380-386)
+        for limb in pk.n.limbs:
+            b.expose_public(limb)
+        for cell in byte_cells:
+            b.expose_public(cell)
+        return b
+
+    b = build()
+    expected = decompose_big(n, NUM_LIMBS, LIMB_WIDTH) + list(digest)
+    assert b.instance == expected
+    assert mock_failures(b) == []
+
+    # tamper an n limb
+    b = build()
+    b.instance[3] = (b.instance[3] + 1) % FR.p
+    assert any(f.kind == "copy" for f in mock_failures(b))
+
+    # tamper a hash byte
+    b = build()
+    b.instance[NUM_LIMBS + 5] = (b.instance[NUM_LIMBS + 5] + 1) % FR.p
+    assert any(f.kind == "copy" for f in mock_failures(b))
