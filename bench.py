@@ -129,8 +129,26 @@ T_BITS = {
     ("mod_pow", 19): 33,  # 23.828 s row
 }
 
+# Published sweep rows (workload, k, |T| or |msg|) -> proving seconds, for
+# --t-bits / --msg runs off the default rows (benches/README.md:52-99).
+SWEEP_BASELINES = {
+    ("delay_enc", 16, 3): 3.7977, ("delay_enc", 16, 6): 4.1609,
+    ("delay_enc", 17, 7): 6.8335, ("delay_enc", 17, 15): 7.4216,
+    ("delay_enc", 18, 16): 12.524, ("delay_enc", 18, 31): 13.397,
+    ("delay_enc", 19, 32): 23.841,
+    ("mod_pow", 16, 4): 3.4051, ("mod_pow", 16, 5): 3.5665,
+    ("mod_pow", 16, 6): 3.5869, ("mod_pow", 16, 7): 3.7930,
+    ("mod_pow", 17, 8): 6.2824, ("mod_pow", 17, 15): 7.0485,
+    ("mod_pow", 17, 16): 7.1383, ("mod_pow", 18, 17): 11.897,
+    ("mod_pow", 18, 31): 13.601, ("mod_pow", 18, 32): 13.724,
+    ("mod_pow", 19, 33): 23.828,
+    ("pose_enc", 11, 1): 0.13862, ("pose_enc", 11, 2): 0.13967,
+    ("pose_enc", 11, 3): 0.14139, ("pose_enc", 11, 4): 0.14836,
+}
 
-def build_circuit(workload: str, cfg, seed: int = 42, k: int | None = None):
+
+def build_circuit(workload: str, cfg, seed: int = 42, k: int | None = None,
+                  t_bits: int | None = None, msg: int = 2):
     from delay_enc_tpu.fields import FR
     from delay_enc_tpu.poseidon import get_spec
 
@@ -153,11 +171,14 @@ def build_circuit(workload: str, cfg, seed: int = 42, k: int | None = None):
         from delay_enc_tpu.models import PoseidonEncCircuit
 
         key = (FR.random(rng), FR.random(rng))
-        expected = PoseidonCipher(spec, key).encrypt([0, 0], 1)
+        message = [0] * msg
+        expected = PoseidonCipher(spec, key, capacity=msg).encrypt(message, 1)
         return PoseidonEncCircuit(
-            spec=spec, num_input=2, message=[0, 0], key=key, expected=expected
+            spec=spec, num_input=msg, message=message, key=key,
+            expected=expected, capacity=msg,
         ).build()
-    t_bits = T_BITS.get((workload, k), cc.exp_limb_bits)
+    if t_bits is None:
+        t_bits = T_BITS.get((workload, k), cc.exp_limb_bits)
     n = rand_bits(cc.bits_len)
     if t_bits == cc.exp_limb_bits:
         # default window (lib.rs:124); draw kept stream/value-compatible
@@ -197,7 +218,13 @@ def get_keys(workload, builder, srs, k, cache_dir):
         pk = load_pk(key_path)
         print(f"# keygen (cached) {time.time()-t0:.1f}s", file=sys.stderr)
         return pk, pk.vk, key_path
+    from delay_enc_tpu.utils.timers import GLOBAL_METRICS
+
+    GLOBAL_METRICS.spans.clear()
     pk, vk = keygen(builder, srs, k=k)
+    if os.environ.get("DELAY_ENC_PROFILE"):
+        for name, v in GLOBAL_METRICS.spans.items():
+            print(f"#   {name}: {v:.2f}s", file=sys.stderr)
     try:
         save_pk(pk, key_path)
     except Exception as e:
@@ -276,7 +303,8 @@ def bench_prove(args, cfg):
 
     t0 = time.time()
     k_target = args.k or cfg.prover.k  # may widen the circuit (T_BITS)
-    builder = build_circuit(args.workload, cfg, k=k_target)
+    builder = build_circuit(args.workload, cfg, k=k_target,
+                            t_bits=args.t_bits, msg=args.msg)
     build_s = time.time() - t0
     k = k_target or max(
         min_k(builder), {"pose_enc": 11, "mod_pow": 16, "delay_enc": 16}[args.workload]
@@ -284,11 +312,21 @@ def bench_prove(args, cfg):
     assert min_k(builder) <= k, f"circuit needs k>={min_k(builder)}, got {k}"
     print(f"# {args.workload}: rows={builder.rows} k={k} build={build_s:.2f}s "
           f"budget={args.budget:.0f}s", file=sys.stderr, flush=True)
-    baseline = BASELINES.get((args.workload, k))
+    # sweep runs (--t-bits / --msg off the default row) get their own metric
+    # name and the matching published baseline row when one exists
+    suffix = ""
+    if args.t_bits is not None and args.workload in ("delay_enc", "mod_pow"):
+        suffix = f"_t{args.t_bits}"
+        baseline = SWEEP_BASELINES.get((args.workload, k, args.t_bits))
+    elif args.workload == "pose_enc" and args.msg != 2:
+        suffix = f"_msg{args.msg}"
+        baseline = SWEEP_BASELINES.get((args.workload, k, args.msg))
+    else:
+        baseline = BASELINES.get((args.workload, k))
 
     def result(prove_s, **extra):
         out = {
-            "metric": f"{args.workload}_k{k}_prove_s",
+            "metric": f"{args.workload}_k{k}{suffix}_prove_s",
             "value": round(prove_s, 4),
             "unit": "s",
             "vs_baseline": round(baseline / prove_s, 3) if baseline else None,
@@ -335,7 +373,8 @@ def bench_prove(args, cfg):
         assert ok, "proof failed to verify"
         print(f"# verify {verify_s:.2f}s ok; proof {len(proof)}B",
               file=sys.stderr, flush=True)
-        _save_proof_artifact(key_cache, args.workload, k, key_path, proof)
+        if not suffix:  # only default rows feed the verify-workload cache
+            _save_proof_artifact(key_cache, args.workload, k, key_path, proof)
     else:
         print("# budget: skipping verification", file=sys.stderr, flush=True)
 
@@ -652,6 +691,12 @@ def main():
                     choices=["auto", "delay_enc", "mod_pow", "pose_enc",
                              "batch", "msm", "ntt", "verify"])
     ap.add_argument("--k", type=int, default=None)
+    ap.add_argument("--t-bits", type=int, default=None, dest="t_bits",
+                    help="exponent bit-size |T| sweep for delay_enc/mod_pow "
+                         "(default: the BASELINE.md row for k, T_BITS)")
+    ap.add_argument("--msg", type=int, default=2,
+                    help="message length |msg| sweep for pose_enc "
+                         "(zero-valued, like the reference's tests)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--batch", type=int, default=None,
                     help="batch workload instance count (default: 4 at "

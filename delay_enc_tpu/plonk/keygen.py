@@ -225,72 +225,90 @@ def keygen(builder: Builder, srs, k: int | None = None, split: bool | None = Non
     assert srs.n >= n, f"SRS too small: {srs.n} < {n}"
     srs = srs.truncated(k)
 
+    from ..utils.timers import GLOBAL_METRICS
+
     # ---- fixed columns (padded to n) + table columns ------------------
-    tags_col, values_col = build_table(builder.lookup_widths)
-    assert len(tags_col) <= domain.usable_rows, "lookup table exceeds usable rows"
-    fixed_host: dict[str, list[int]] = {}
-    for name in FIXED_NAMES:
-        col = builder.fixed[name]
-        fixed_host[name] = col + [0] * (n - len(col))
-    fixed_host["table_tag"] = tags_col + [0] * (n - len(tags_col))
-    fixed_host["table_value"] = values_col + [0] * (n - len(values_col))
+    with GLOBAL_METRICS.span("keygen/host columns"):
+        tags_col, values_col = build_table(builder.lookup_widths)
+        assert len(tags_col) <= domain.usable_rows, "lookup table exceeds usable rows"
+        fixed_host: dict[str, list[int]] = {}
+        for name in FIXED_NAMES:
+            col = builder.fixed[name]
+            fixed_host[name] = col + [0] * (n - len(col))
+        fixed_host["table_tag"] = tags_col + [0] * (n - len(tags_col))
+        fixed_host["table_value"] = values_col + [0] * (n - len(values_col))
 
     # ---- permutation sigmas -------------------------------------------
-    omega_pows = [1] * n
-    for r in range(1, n):
-        omega_pows[r] = omega_pows[r - 1] * domain.omega % FR.p
-    delta_powers = [pow(DELTA, c, FR.p) for c in range(NUM_PERM_COLS)]
-    # sigma starts as the identity labelling (5 advice + instance column)
-    sigma_cols = [[delta_powers[c] * omega_pows[r] % FR.p for r in range(n)] for c in range(NUM_PERM_COLS)]
-    for cycle in builder.permutation_cycles():
-        # rotate: sigma[cell_i] <- label(cell_{i+1})
-        labels = [delta_powers[c] * omega_pows[r] % FR.p for (c, r) in cycle]
-        for i, (c, r) in enumerate(cycle):
-            sigma_cols[c][r] = labels[(i + 1) % len(cycle)]
+    with GLOBAL_METRICS.span("keygen/sigma labels"):
+        omega_pows = [1] * n
+        for r in range(1, n):
+            omega_pows[r] = omega_pows[r - 1] * domain.omega % FR.p
+        delta_powers = [pow(DELTA, c, FR.p) for c in range(NUM_PERM_COLS)]
+        # sigma starts as the identity labelling (5 advice + instance column)
+        sigma_cols = [[delta_powers[c] * omega_pows[r] % FR.p for r in range(n)] for c in range(NUM_PERM_COLS)]
+        for cycle in builder.permutation_cycles():
+            # rotate: sigma[cell_i] <- label(cell_{i+1})
+            labels = [delta_powers[c] * omega_pows[r] % FR.p for (c, r) in cycle]
+            for i, (c, r) in enumerate(cycle):
+                sigma_cols[c][r] = labels[(i + 1) % len(cycle)]
 
-    # ---- device transforms (explicit-arg kernels, see kernels.py) -----
-    from .kernels import _jit_canon_batch, _jit_coeff, _jit_ext, msm_commit_batch
+    # ---- device transforms: ONE stacked launch for all 24 columns -----
+    # (15 fixed + 6 sigma + 3 lagrange masks share the same iNTT/ext
+    # transform; the prover's batched kernels are reused — r3 VERDICT
+    # item 7 replaced the per-column jit_t loop)
+    from .kernels import (
+        _jit_canon_batch,
+        _jit_coeff_batch,
+        _jit_ext_batch,
+        msm_commit_batch,
+    )
 
     plan, plan_ext = domain.plan, domain.plan_ext
 
-    if split:
-        # split-quotient mode: coefficient forms only; per-coset evals are
-        # (re)computed inside create_proof — an 8n fused domain for 20+
-        # polynomials would not fit HBM at k >= 18
-        def jit_t(col):
-            return _jit_coeff(col, plan.tw_inv, plan.n_inv), None
-    else:
-        zp = _zeta_powers(domain)
-
-        def jit_t(col):
-            coeff = _jit_coeff(col, plan.tw_inv, plan.n_inv)
-            ext = _jit_ext(coeff, zp, plan_ext.tw)
-            return coeff, ext
-
-    fixed_raw, fixed_coeff, fixed_ext = {}, {}, {}
-    for name in ALL_FIXED:
-        dev = jnp.asarray(ctx.to_mont_np(fixed_host[name]))
-        coeff, ext = jit_t(dev)
-        fixed_raw[name], fixed_coeff[name], fixed_ext[name] = dev, coeff, ext
-    sigma_coeff, sigma_ext = [], []
-    for c in range(NUM_PERM_COLS):
-        dev = jnp.asarray(ctx.to_mont_np(sigma_cols[c]))
-        coeff, ext = jit_t(dev)
-        sigma_coeff.append(coeff)
-        sigma_ext.append(ext)
-
-    # lagrange masks (coeff in split mode, extended evals otherwise)
-    def lag_col(rows):
+    def lag_host(rows):
         col = [0] * n
         for r in rows:
             col[r] = 1
-        dev = jnp.asarray(ctx.to_mont_np(col))
-        coeff, ext = jit_t(dev)
-        return coeff if split else ext
+        return col
 
-    l0_m = lag_col([0])
-    l_last_m = lag_col([domain.usable_rows])
-    l_blind_m = lag_col(range(domain.usable_rows + 1, n))
+    host_cols = (
+        [fixed_host[name] for name in ALL_FIXED]
+        + sigma_cols
+        + [
+            lag_host([0]),
+            lag_host([domain.usable_rows]),
+            lag_host(range(domain.usable_rows + 1, n)),
+        ]
+    )
+    with GLOBAL_METRICS.span("keygen/to_mont"):
+        dev_stack = jnp.asarray(
+            np.stack([ctx.to_mont_np(col) for col in host_cols])
+        )
+    ext_stack = None
+    with GLOBAL_METRICS.span("keygen/transforms"):
+        coeff_stack = _jit_coeff_batch(dev_stack, plan.tw_inv, plan.n_inv)
+        if not split:
+            # split-quotient mode skips this: per-coset evals are
+            # (re)computed inside create_proof — an 8n fused domain for
+            # 20+ polynomials would not fit HBM at k >= 18
+            ext_stack = _jit_ext_batch(
+                coeff_stack, _zeta_powers(domain), plan_ext.tw
+            )
+        (ext_stack if ext_stack is not None else coeff_stack).block_until_ready()
+
+    nf = len(ALL_FIXED)
+    fixed_raw = {name: dev_stack[i] for i, name in enumerate(ALL_FIXED)}
+    fixed_coeff = {name: coeff_stack[i] for i, name in enumerate(ALL_FIXED)}
+    fixed_ext = (
+        {} if split else {name: ext_stack[i] for i, name in enumerate(ALL_FIXED)}
+    )
+    sigma_coeff = [coeff_stack[nf + c] for c in range(NUM_PERM_COLS)]
+    sigma_ext = (
+        None if split else [ext_stack[nf + c] for c in range(NUM_PERM_COLS)]
+    )
+    mask_stack = coeff_stack if split else ext_stack
+    nm = nf + NUM_PERM_COLS
+    l0_m, l_last_m, l_blind_m = (mask_stack[nm + i] for i in range(3))
 
     x_ext = None
     zh_inv_ext = None
@@ -316,12 +334,12 @@ def keygen(builder: Builder, srs, k: int | None = None, split: bool | None = Non
         zh_inv_ext = jnp.asarray(ctx.to_mont_np(zh_full))
 
     # ---- commitments (one batched MSM over the shared pair tables) ----
-    all_coeffs = [fixed_coeff[name] for name in ALL_FIXED] + list(sigma_coeff)
-    all_comms = msm_commit_batch(
-        srs.msm_tables(), _jit_canon_batch(jnp.stack(all_coeffs))
-    )
-    fixed_comms = dict(zip(ALL_FIXED, all_comms[: len(ALL_FIXED)]))
-    sigma_comms = list(all_comms[len(ALL_FIXED) :])
+    with GLOBAL_METRICS.span("keygen/commit"):
+        all_comms = msm_commit_batch(
+            srs.msm_tables(), _jit_canon_batch(coeff_stack[: nf + NUM_PERM_COLS])
+        )
+    fixed_comms = dict(zip(ALL_FIXED, all_comms[:nf]))
+    sigma_comms = list(all_comms[nf:])
 
     repr_scalar = transcript_repr(domain, fixed_comms, sigma_comms)
     vk = VerifyingKey(domain, fixed_comms, sigma_comms, repr_scalar)

@@ -77,3 +77,20 @@ def test_widened_exponent_circuit_is_constraint_valid():
     b = bench.build_circuit("mod_pow", Config(), k=17)
     assert b.rows > 55_000
     assert mock_failures(b) == []
+
+
+def test_sweep_flags_build_distinct_circuits():
+    """--t-bits / --msg sweeps (benches/README.md:52-99 rows): circuit rows
+    scale with the swept parameter and stay constraint-valid."""
+    from delay_enc_tpu.cs.mock import mock_failures
+
+    cfg = Config.from_env()
+    # pose_enc |msg| sweep: rows track the reference's ~4 rows/element
+    r1 = bench.build_circuit("pose_enc", cfg, msg=1)
+    r4 = bench.build_circuit("pose_enc", cfg, msg=4)
+    assert r1.rows < r4.rows
+    assert mock_failures(r4) == []
+    # mod_pow |T| sweep: each extra exponent bit adds ~8K rows
+    t4 = bench.build_circuit("mod_pow", cfg, k=16, t_bits=4)
+    t6 = bench.build_circuit("mod_pow", cfg, k=16, t_bits=6)
+    assert t6.rows - t4.rows > 10_000
