@@ -685,6 +685,35 @@ def bench_auto(args):
     return final
 
 
+MANIFEST = "bench_data/jax_cache_manifest.json"
+
+
+def check_cache_manifest(write: bool = False) -> None:
+    """Compile-cache freshness report (VERDICT r3: kernel-shape churn
+    silently invalidated `.jax_cache`, costing hours of TPU recompiles).
+    A manifest (list of expected cache keys, committed after a successful
+    warm campaign) lets every bench run say up front how much compile debt
+    it is about to pay."""
+    try:
+        present = set(os.listdir(".jax_cache"))
+    except OSError:
+        present = set()
+    if write:
+        with open(MANIFEST, "w") as f:
+            json.dump(sorted(present), f, indent=1)
+        print(f"# cache manifest written: {len(present)} keys",
+              file=sys.stderr, flush=True)
+        return
+    if not os.path.exists(MANIFEST):
+        return
+    with open(MANIFEST) as f:
+        expected = set(json.load(f))
+    missing = expected - present
+    print(f"# jax_cache: {len(expected & present)}/{len(expected)} manifest "
+          f"keys present ({len(missing)} missing -> fresh compiles ahead)",
+          file=sys.stderr, flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="auto",
@@ -713,7 +742,15 @@ def main():
     ap.add_argument("--no-probe", action="store_true",
                     help="skip the device probe (the parent auto-stage "
                          "already probed)")
+    ap.add_argument("--write-cache-manifest", action="store_true",
+                    help="record the current .jax_cache keys as the "
+                         "expected-warm manifest and exit")
     args = ap.parse_args()
+
+    if args.write_cache_manifest:
+        check_cache_manifest(write=True)
+        return
+    check_cache_manifest()
 
     # honor JAX_PLATFORMS even when a sitecustomize forces a plugin platform
     # after env processing (jax.config.update beats it pre-backend-init)
