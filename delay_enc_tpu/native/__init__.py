@@ -3,7 +3,7 @@
 `limbops` — host-side Montgomery limb conversion; `ecops` — host-side BN254
 G1 point kernels (MSM plane folds for the prover, multi-scalar mul for the
 verifier).  Both are compiled on first import with the system C compiler
-(cc -O2 -shared -fPIC) and loaded via ctypes, falling back silently to the
+(cc -O3 -shared -fPIC) and loaded via ctypes, falling back silently to the
 pure-Python implementations when no compiler is available (the Python API
 surfaces are unchanged either way).
 """
@@ -22,12 +22,16 @@ _ECLIB_TRIED = False
 
 
 def _build(src: str, so: str) -> bool:
+    # compile to a temp path, then atomically rename: overwriting the .so
+    # in place would remap pages under any live process that has it
+    # dlopen'd (SIGBUS hazard for a concurrently-running bench)
     try:
         subprocess.run(
-            ["cc", "-O2", "-shared", "-fPIC", "-o", so, src],
+            ["cc", "-O3", "-shared", "-fPIC", "-o", so + ".tmp", src],
             check=True,
             capture_output=True,
         )
+        os.replace(so + ".tmp", so)
         return True
     except Exception:
         return False
@@ -91,6 +95,17 @@ def get_eclib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
     ]
     lib.g1_msm.restype = ctypes.c_int
+    lib.g1_msm_pre.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+    ]
+    lib.g1_msm_pre.restype = ctypes.c_int
+    lib.g1_msm_precompute.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+    ]
+    lib.g1_msm_precompute.restype = ctypes.c_int
     lib.pairing_check_prepared.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t,  # points, npairs
         ctypes.c_void_p, ctypes.c_size_t,  # coeffs, nsteps
@@ -100,6 +115,12 @@ def get_eclib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
     ]
     lib.pairing_check_prepared.restype = ctypes.c_int
+    lib.g1_decompress_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.g1_decompress_batch.restype = ctypes.c_int
     lib.fq_sqrt.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
         ctypes.c_void_p,

@@ -54,8 +54,40 @@ def fold_planes_batch(planes: np.ndarray, base_bits: int):
     return res
 
 
-def msm_host(scalars, points, order: int):
-    """sum_i scalars[i] * points[i] over host affine ints.  Returns the
+PRE_WINDOW = 7   # wNAF window for precomputed (per-vk fixed) points
+VAR_WINDOW = 5   # wNAF window for per-proof points
+
+
+def msm_precompute(points, w: int = PRE_WINDOW):
+    """Montgomery-form odd-multiple tables {1,3,...,2^(w-1)-1}P for a
+    FIXED point set (the verifier builds these once per verifying key).
+    Returns opaque bytes for msm_host(pretab=...), or None when the C
+    library is missing."""
+    lib = get_eclib()
+    if lib is None or len(points) > 8192:
+        return None
+    n = len(points)
+    pts = bytearray(64 * n)
+    for i, pt in enumerate(points):
+        if pt is None:
+            continue
+        pts[64 * i : 64 * i + 32] = pt[0].to_bytes(32, "little")
+        pts[64 * i + 32 : 64 * i + 64] = pt[1].to_bytes(32, "little")
+    out = np.empty(n * (1 << (w - 2)) * 64, dtype=np.uint8)
+    pw, r2w, n0 = _consts()
+    rc = lib.g1_msm_precompute(
+        bytes(pts), n, w, pw.ctypes.data, r2w.ctypes.data, n0, out.ctypes.data
+    )
+    if rc < 0:
+        return None
+    return out.tobytes()
+
+
+def msm_host(scalars, points, order: int, pretab: bytes | None = None,
+             npre: int = 0, wpre: int = PRE_WINDOW):
+    """sum_i scalars[i] * points[i] over host affine ints.  The first
+    `npre` points may come with precomputed tables (msm_precompute) —
+    identical result, no per-call table build for them.  Returns the
     affine point, None for identity, or the string "unavailable" when the
     C library is missing (distinct from a legitimate None result)."""
     lib = get_eclib()
@@ -73,10 +105,16 @@ def msm_host(scalars, points, order: int):
         scs[32 * i : 32 * i + 32] = s.to_bytes(32, "little")
     out = np.empty(64, dtype=np.uint8)
     pw, r2w, n0 = _consts()
-    rc = lib.g1_msm(
-        bytes(pts), bytes(scs), n, pw.ctypes.data, r2w.ctypes.data, n0,
-        out.ctypes.data,
-    )
+    if pretab is not None and npre:
+        rc = lib.g1_msm_pre(
+            bytes(pts), bytes(scs), n, npre, pretab, wpre, VAR_WINDOW,
+            pw.ctypes.data, r2w.ctypes.data, n0, out.ctypes.data,
+        )
+    else:
+        rc = lib.g1_msm(
+            bytes(pts), bytes(scs), n, pw.ctypes.data, r2w.ctypes.data, n0,
+            out.ctypes.data,
+        )
     if rc < 0:
         return "unavailable"
     if rc == 0:
@@ -86,6 +124,34 @@ def msm_host(scalars, points, order: int):
         int.from_bytes(ob[:32], "little"),
         int.from_bytes(ob[32:], "little"),
     )
+
+
+def g1_decompress_batch(blobs: bytes, n: int, b_curve: int):
+    """Decompress n 32-byte G1 encodings (concatenated) in one C call.
+    Returns a list of affine points/None, raises ValueError on any invalid
+    encoding, or returns the string "unavailable" without the C library."""
+    lib = get_eclib()
+    if lib is None:
+        return "unavailable"
+    out = np.empty(n * 64, dtype=np.uint8)
+    flags = np.empty(n, dtype=np.uint8)
+    pw, r2w, n0 = _consts()
+    rc = lib.g1_decompress_batch(
+        blobs, n, b_curve.to_bytes(32, "little"),
+        pw.ctypes.data, r2w.ctypes.data, n0, out.ctypes.data, flags.ctypes.data,
+    )
+    if rc < 0:
+        return "unavailable"
+    if (flags > 1).any():
+        raise ValueError("invalid G1 encoding in proof")
+    ob = out.tobytes()
+    return [
+        None if flags[i] == 0 else (
+            int.from_bytes(ob[64 * i : 64 * i + 32], "little"),
+            int.from_bytes(ob[64 * i + 32 : 64 * i + 64], "little"),
+        )
+        for i in range(n)
+    ]
 
 
 def fq_sqrt_host(a: int):

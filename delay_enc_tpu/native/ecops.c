@@ -88,7 +88,8 @@ static inline void fe_sub(const fctx *c, const u256 *a, const u256 *b, u256 *out
     *out = r;
 }
 
-static void fe_mul(const fctx *c, const u256 *a, const u256 *b, u256 *out) {
+static inline __attribute__((always_inline)) void
+fe_mul(const fctx *c, const u256 *a, const u256 *b, u256 *out) {
     uint64_t t[6] = {0, 0, 0, 0, 0, 0};
     for (int i = 0; i < 4; i++) {
         u128 carry = 0;
@@ -371,19 +372,22 @@ static void pj_add(const fctx *c, pjac *P, const pjac *Q) {
     if (fe_is_zero(&Z3)) P->inf = 1;
 }
 
-/* w=4 wNAF recoding of a canonical 32-byte LE scalar: odd digits in
- * [-7, 7], at most one nonzero in any 4 consecutive positions.  Returns
- * the digit count (<= 257).  out must hold 257 entries. */
-static int wnaf4(const uint8_t *sc, int8_t *out) {
+/* wNAF recoding of a canonical 32-byte LE scalar at window w (2..8):
+ * odd digits in [-(2^(w-1)-1), 2^(w-1)-1], at most one nonzero in any w
+ * consecutive positions.  Returns the digit count (<= 258).  out must
+ * hold 260 entries. */
+static int wnaf_rec(const uint8_t *sc, int16_t *out, int w) {
     uint64_t k[5];
     memcpy(k, sc, 32);
     k[4] = 0;
+    const uint64_t mask = ((uint64_t)1 << w) - 1;
+    const int64_t half = (int64_t)1 << (w - 1);
     int len = 0;
     while (k[0] | k[1] | k[2] | k[3] | k[4]) {
-        int d = 0;
+        int64_t d = 0;
         if (k[0] & 1) {
-            d = (int)(k[0] & 15);
-            if (d >= 8) d -= 16;
+            d = (int64_t)(k[0] & mask);
+            if (d >= half) d -= (int64_t)1 << w;
             if (d >= 0) {           /* k -= d */
                 uint64_t borrow = (uint64_t)d;
                 for (int i = 0; i < 5 && borrow; i++) {
@@ -400,42 +404,124 @@ static int wnaf4(const uint8_t *sc, int8_t *out) {
                 }
             }
         }
-        out[len++] = (int8_t)d;
+        out[len++] = (int16_t)d;
         for (int i = 0; i < 4; i++) k[i] = (k[i] >> 1) | (k[i + 1] << 63);
         k[4] >>= 1;
     }
     return len;
 }
 
-/* Multi-scalar multiplication (Straus shared-doubling over w=4 wNAF
- * digits with per-point odd-multiple tables {1,3,5,7}P batch-normalized
- * to affine for mixed adds).  points: (n, 64) canonical affine LE x||y
- * bytes (all-zero row = identity); scalars: (n, 32) canonical LE bytes.
- * out: 64 bytes canonical affine.  Returns 0 for identity result. */
-int g1_msm(const uint8_t *points, const uint8_t *scalars, size_t n,
-           const uint64_t *p_words, const uint64_t *r2_words, uint64_t n0inv,
-           uint8_t *out) {
-    if (n > 8192) return -1;  /* verifier-scale API */
+/* Build Montgomery-form affine odd-multiple tables {1,3,...,2^(w-1)-1}P
+ * for n points (batch-normalized with ONE field inversion).  points:
+ * (n, 64) canonical affine LE x||y bytes (all-zero row = identity).
+ * out: n * 2^(w-2) * 64 bytes, MONTGOMERY-form affine entries (an
+ * identity input writes zero rows).  These tables feed g1_msm_pre: the
+ * verifier precomputes them once per verifying key for the fixed
+ * commitments (sigma/fixed columns + the generator), which removes both
+ * the per-proof table build and lets the fixed points use a wider
+ * window.  Returns 0, or -1 on alloc failure / bad w. */
+int g1_msm_precompute(const uint8_t *points, size_t n, int w,
+                      const uint64_t *p_words, const uint64_t *r2_words,
+                      uint64_t n0inv, uint8_t *out) {
+    if (w < 2 || w > 8 || n > 8192) return -1;
+    const size_t tsz = (size_t)1 << (w - 2);
+    fctx c;
+    fctx_init(&c, p_words, r2_words, n0inv);
+    memset(out, 0, n * tsz * 64);
+    pjac *tj = (pjac *)malloc(sizeof(pjac) * tsz);
+    u256 *zs = (u256 *)malloc(sizeof(u256) * tsz * n);
+    u256 *pre = (u256 *)malloc(sizeof(u256) * tsz * n);
+    pjac *alltj = (pjac *)malloc(sizeof(pjac) * tsz * n);
+    uint8_t *live = (uint8_t *)malloc(n ? n : 1);
+    if (!tj || !zs || !pre || !alltj || !live) {
+        free(tj); free(zs); free(pre); free(alltj); free(live);
+        return -1;
+    }
+    size_t m = 0;
+    for (size_t i = 0; i < n; i++) {
+        u256 x, y;
+        memcpy(x.w, points + 64 * i, 32);
+        memcpy(y.w, points + 64 * i + 32, 32);
+        live[i] = !(fe_is_zero(&x) && fe_is_zero(&y));
+        if (!live[i]) continue;
+        pjac p2;
+        fe_mul(&c, &x, &c.r2, &tj[0].x);
+        fe_mul(&c, &y, &c.r2, &tj[0].y);
+        tj[0].z = c.one; tj[0].inf = 0;
+        p2 = tj[0];
+        pj_double(&c, &p2);
+        for (size_t j = 1; j < tsz; j++) {
+            tj[j] = tj[j - 1];
+            pj_add(&c, &tj[j], &p2);
+        }
+        for (size_t j = 0; j < tsz; j++) {
+            alltj[i * tsz + j] = tj[j];
+            zs[m++] = tj[j].z;
+        }
+    }
+    if (m) {
+        u256 acc_z = c.one, inv, zi, zi2, ax, ay;
+        for (size_t t = 0; t < m; t++) {
+            pre[t] = acc_z;
+            fe_mul(&c, &acc_z, &zs[t], &acc_z);
+        }
+        fe_inv(&c, &acc_z, &inv);
+        size_t t = m;
+        for (size_t i = n; i-- > 0;) {
+            if (!live[i]) continue;
+            for (size_t j = tsz; j-- > 0;) {
+                t--;
+                fe_mul(&c, &inv, &pre[t], &zi);
+                fe_mul(&c, &inv, &zs[t], &inv);
+                fe_mul(&c, &zi, &zi, &zi2);
+                fe_mul(&c, &alltj[i * tsz + j].x, &zi2, &ax);
+                fe_mul(&c, &alltj[i * tsz + j].y, &zi2, &ay);
+                fe_mul(&c, &ay, &zi, &ay);
+                memcpy(out + (i * tsz + j) * 64, ax.w, 32);
+                memcpy(out + (i * tsz + j) * 64 + 32, ay.w, 32);
+            }
+        }
+    }
+    free(tj); free(zs); free(pre); free(alltj); free(live);
+    return 0;
+}
+
+/* Multi-scalar multiplication (Straus shared-doubling over wNAF digits).
+ * The first npre points use caller-precomputed Montgomery odd-multiple
+ * tables (pretab, from g1_msm_precompute at window wpre); the remaining
+ * n-npre points get {1,3,...}P tables built on the fly at window wvar
+ * and batch-normalized to affine with one inversion.
+ * points: (n, 64) canonical affine LE x||y bytes (all-zero = identity;
+ * for i < npre only the identity flag is read — an all-zero pretab row 0
+ * marks identity too); scalars: (n, 32) canonical LE bytes.
+ * out: 64 bytes canonical affine.  Returns 1, 0 for identity result,
+ * -1 on error. */
+int g1_msm_pre(const uint8_t *points, const uint8_t *scalars, size_t n,
+               size_t npre, const uint8_t *pretab, int wpre, int wvar,
+               const uint64_t *p_words, const uint64_t *r2_words,
+               uint64_t n0inv, uint8_t *out) {
+    if (n > 8192 || npre > n || wpre < 2 || wpre > 8 || wvar < 2 || wvar > 8)
+        return -1;
+    const size_t tszp = (size_t)1 << (wpre - 2);
+    const size_t tszv = (size_t)1 << (wvar - 2);
     fctx c;
     fctx_init(&c, p_words, r2_words, n0inv);
     memset(out, 0, 64);
     if (n == 0) return 0;
-    /* Montgomery affine coords, skipping identity/zero-scalar entries;
-     * wNAF digit strings per live scalar */
-    u256 *mx = (u256 *)malloc(sizeof(u256) * n);
-    u256 *my = (u256 *)malloc(sizeof(u256) * n);
+    size_t nvar = n - npre;
     uint8_t *live = (uint8_t *)malloc(n);
-    int8_t *dig = (int8_t *)malloc(n * 257);
+    int16_t *dig = (int16_t *)malloc(n * 260 * sizeof(int16_t));
     int *dlen = (int *)malloc(n * sizeof(int));
-    /* odd-multiple tables {1,3,5,7}P: Jacobian scratch, then affine */
-    pjac *tj = (pjac *)malloc(sizeof(pjac) * 4 * n);
-    u256 *tx = (u256 *)malloc(sizeof(u256) * 4 * n);
-    u256 *ty = (u256 *)malloc(sizeof(u256) * 4 * n);
-    u256 *zs = (u256 *)malloc(sizeof(u256) * 4 * n);
-    u256 *pre = (u256 *)malloc(sizeof(u256) * 4 * n);
-    if (!mx || !my || !live || !dig || !dlen || !tj || !tx || !ty || !zs || !pre) {
-        free(mx); free(my); free(live); free(dig); free(dlen);
-        free(tj); free(tx); free(ty); free(zs); free(pre);
+    /* tables: precomputed rows are memcpy'd (alignment safety), variable
+     * rows are built in Jacobian then batch-normalized */
+    u256 *tx = (u256 *)malloc(sizeof(u256) * (npre * tszp + nvar * tszv));
+    u256 *ty = (u256 *)malloc(sizeof(u256) * (npre * tszp + nvar * tszv));
+    pjac *tj = (pjac *)malloc(sizeof(pjac) * (nvar ? nvar * tszv : 1));
+    u256 *zs = (u256 *)malloc(sizeof(u256) * (nvar ? nvar * tszv : 1));
+    u256 *pre = (u256 *)malloc(sizeof(u256) * (nvar ? nvar * tszv : 1));
+    if (!live || !dig || !dlen || !tx || !ty || !tj || !zs || !pre) {
+        free(live); free(dig); free(dlen); free(tx); free(ty);
+        free(tj); free(zs); free(pre);
         return -1;
     }
     int maxlen = 0;
@@ -443,40 +529,54 @@ int g1_msm(const uint8_t *points, const uint8_t *scalars, size_t n,
         u256 x, y;
         memcpy(x.w, points + 64 * i, 32);
         memcpy(y.w, points + 64 * i + 32, 32);
-        int pt_zero = fe_is_zero(&x) && fe_is_zero(&y);
-        live[i] = !pt_zero;
+        live[i] = !(fe_is_zero(&x) && fe_is_zero(&y));
+        if (i < npre && live[i]) {
+            /* identity may also be flagged by a zero table row */
+            const uint8_t *row = pretab + i * tszp * 64;
+            int all0 = 1;
+            for (size_t b2 = 0; b2 < 64 && all0; b2++) all0 = row[b2] == 0;
+            if (all0) live[i] = 0;
+        }
         if (live[i]) {
-            dlen[i] = wnaf4(scalars + 32 * i, dig + 257 * i);
-            if (dlen[i] == 0) live[i] = 0;   /* zero scalar */
+            dlen[i] = wnaf_rec(scalars + 32 * i, dig + 260 * i,
+                               i < npre ? wpre : wvar);
+            if (dlen[i] == 0) live[i] = 0;
             if (dlen[i] > maxlen) maxlen = dlen[i];
         }
         if (live[i]) {
-            fe_mul(&c, &x, &c.r2, &mx[i]);
-            fe_mul(&c, &y, &c.r2, &my[i]);
+            if (i < npre) {
+                for (size_t j = 0; j < tszp; j++) {
+                    memcpy(tx[i * tszp + j].w, pretab + (i * tszp + j) * 64, 32);
+                    memcpy(ty[i * tszp + j].w, pretab + (i * tszp + j) * 64 + 32, 32);
+                }
+            } else {
+                /* stage Montgomery affine base into tj[...,0] below */
+                size_t v = i - npre;
+                fe_mul(&c, &x, &c.r2, &tj[v * tszv].x);
+                fe_mul(&c, &y, &c.r2, &tj[v * tszv].y);
+                tj[v * tszv].z = c.one; tj[v * tszv].inf = 0;
+            }
         }
     }
     if (maxlen == 0) {
-        free(mx); free(my); free(live); free(dig); free(dlen);
-        free(tj); free(tx); free(ty); free(zs); free(pre);
+        free(live); free(dig); free(dlen); free(tx); free(ty);
+        free(tj); free(zs); free(pre);
         return 0;
     }
-    /* Jacobian odd multiples; all entries finite (prime group order) */
+    /* variable-point Jacobian odd multiples + batch normalize */
     size_t m = 0;
-    for (size_t i = 0; i < n; i++) {
+    for (size_t i = npre; i < n; i++) {
         if (!live[i]) continue;
-        pjac p2;
-        tj[4 * i].x = mx[i]; tj[4 * i].y = my[i];
-        tj[4 * i].z = c.one; tj[4 * i].inf = 0;
-        p2 = tj[4 * i];
+        size_t v = i - npre;
+        pjac p2 = tj[v * tszv];
         pj_double(&c, &p2);
-        for (int j = 1; j < 4; j++) {
-            tj[4 * i + j] = tj[4 * i + j - 1];
-            pj_add(&c, &tj[4 * i + j], &p2);
+        for (size_t j = 1; j < tszv; j++) {
+            tj[v * tszv + j] = tj[v * tszv + j - 1];
+            pj_add(&c, &tj[v * tszv + j], &p2);
         }
-        for (int j = 0; j < 4; j++) zs[m++] = tj[4 * i + j].z;
+        for (size_t j = 0; j < tszv; j++) zs[m++] = tj[v * tszv + j].z;
     }
-    /* batch-normalize tables to affine (one field inversion total) */
-    {
+    if (m) {
         u256 acc_z = c.one, inv, zi, zi2;
         for (size_t t = 0; t < m; t++) {
             pre[t] = acc_z;
@@ -484,16 +584,18 @@ int g1_msm(const uint8_t *points, const uint8_t *scalars, size_t n,
         }
         fe_inv(&c, &acc_z, &inv);
         size_t t = m;
-        for (size_t i2 = n; i2-- > 0;) {
+        for (size_t i2 = n; i2-- > npre;) {
             if (!live[i2]) continue;
-            for (int j = 4; j-- > 0;) {
+            size_t v = i2 - npre;
+            for (size_t j = tszv; j-- > 0;) {
                 t--;
                 fe_mul(&c, &inv, &pre[t], &zi);
                 fe_mul(&c, &inv, &zs[t], &inv);
                 fe_mul(&c, &zi, &zi, &zi2);
-                fe_mul(&c, &tj[4 * i2 + j].x, &zi2, &tx[4 * i2 + j]);
-                fe_mul(&c, &tj[4 * i2 + j].y, &zi2, &ty[4 * i2 + j]);
-                fe_mul(&c, &ty[4 * i2 + j], &zi, &ty[4 * i2 + j]);
+                fe_mul(&c, &tj[v * tszv + j].x, &zi2, &tx[npre * tszp + v * tszv + j]);
+                fe_mul(&c, &tj[v * tszv + j].y, &zi2, &ty[npre * tszp + v * tszv + j]);
+                fe_mul(&c, &ty[npre * tszp + v * tszv + j], &zi,
+                       &ty[npre * tszp + v * tszv + j]);
             }
         }
     }
@@ -503,20 +605,21 @@ int g1_msm(const uint8_t *points, const uint8_t *scalars, size_t n,
         pj_double(&c, &acc);
         for (size_t i = 0; i < n; i++) {
             if (!live[i] || j >= dlen[i]) continue;
-            int d = dig[257 * i + j];
+            int d = dig[260 * i + j];
             if (d == 0) continue;
-            int idx = (d > 0 ? d : -d) >> 1;
+            size_t base = i < npre ? i * tszp : npre * tszp + (i - npre) * tszv;
+            size_t idx = (size_t)((d > 0 ? d : -d) >> 1);
             if (d > 0) {
-                pj_add_affine(&c, &acc, &tx[4 * i + idx], &ty[4 * i + idx]);
+                pj_add_affine(&c, &acc, &tx[base + idx], &ty[base + idx]);
             } else {
                 u256 ny, zero = {{0, 0, 0, 0}};
-                fe_sub(&c, &zero, &ty[4 * i + idx], &ny);
-                pj_add_affine(&c, &acc, &tx[4 * i + idx], &ny);
+                fe_sub(&c, &zero, &ty[base + idx], &ny);
+                pj_add_affine(&c, &acc, &tx[base + idx], &ny);
             }
         }
     }
-    free(mx); free(my); free(live); free(dig); free(dlen);
-    free(tj); free(tx); free(ty); free(zs); free(pre);
+    free(live); free(dig); free(dlen); free(tx); free(ty);
+    free(tj); free(zs); free(pre);
     if (acc.inf) return 0;
     u256 zi, zi2, xa, ya, lit_one = {{1, 0, 0, 0}};
     fe_inv(&c, &acc.z, &zi);
@@ -529,6 +632,15 @@ int g1_msm(const uint8_t *points, const uint8_t *scalars, size_t n,
     memcpy(out, xa.w, 32);
     memcpy(out + 32, ya.w, 32);
     return 1;
+}
+
+/* Back-compat wrapper: the original w=4 shared-doubling MSM surface,
+ * now at window 5 with no precomputed block. */
+int g1_msm(const uint8_t *points, const uint8_t *scalars, size_t n,
+           const uint64_t *p_words, const uint64_t *r2_words, uint64_t n0inv,
+           uint8_t *out) {
+    return g1_msm_pre(points, scalars, n, 0, NULL, 5, 5,
+                      p_words, r2_words, n0inv, out);
 }
 
 /* Square root mod p for p = 3 (mod 4): y = a^((p+1)/4), verified by
@@ -562,6 +674,66 @@ int fq_sqrt(const uint8_t *a_bytes, const uint64_t *p_words,
     fe_mul(&c, &y, &lit_one, &y);    /* out of Montgomery form */
     memcpy(out, y.w, 32);
     return 1;
+}
+
+/* Batch G1 point decompression (halo2-style 32-byte encodings: x with
+ * the y-parity in bit 255; all-zero = identity).  in: n * 32 bytes.
+ * b_bytes: the curve constant b, canonical 32-byte LE.  out: n * 64
+ * bytes canonical affine x||y.  flags[i]: 1 = point, 0 = identity,
+ * 2 = invalid (non-canonical x or not on curve).  One fctx setup and
+ * one shared exponent for the whole proof's ~30 commitments (the
+ * per-point Python wrapper overhead was a measurable slice of verify).
+ * Requires p = 3 (mod 4); returns -1 otherwise, else 0. */
+int g1_decompress_batch(const uint8_t *in, size_t n, const uint8_t *b_bytes,
+                        const uint64_t *p_words, const uint64_t *r2_words,
+                        uint64_t n0inv, uint8_t *out, uint8_t *flags) {
+    fctx c;
+    fctx_init(&c, p_words, r2_words, n0inv);
+    if ((c.p.w[0] & 3) != 3) return -1;
+    u256 e, bm, lit_one = {{1, 0, 0, 0}};
+    /* e = (p + 1) / 4 = (p >> 2) + 1 */
+    for (int i = 0; i < 4; i++)
+        e.w[i] = (c.p.w[i] >> 2) | (i < 3 ? c.p.w[i + 1] << 62 : 0);
+    {
+        u128 s = (u128)e.w[0] + 1;
+        e.w[0] = (uint64_t)s;
+        for (int i = 1; i < 4 && (s >> 64); i++) {
+            s = (u128)e.w[i] + 1;
+            e.w[i] = (uint64_t)s;
+        }
+    }
+    u256 b;
+    memcpy(b.w, b_bytes, 32);
+    fe_mul(&c, &b, &c.r2, &bm);
+    memset(out, 0, n * 64);
+    for (size_t i = 0; i < n; i++) {
+        u256 x;
+        memcpy(x.w, in + 32 * i, 32);
+        int ysign = (int)(x.w[3] >> 63);
+        x.w[3] &= ~(1ULL << 63);
+        if (fe_geq(&x, &c.p)) { flags[i] = 2; continue; }
+        if (fe_is_zero(&x) && !ysign) { flags[i] = 0; continue; }  /* identity */
+        /* x = 0 with the sign bit set falls through to the curve check,
+         * matching g1_from_bytes (invalid iff b is a non-residue) */
+        u256 xm, rhs, y, y2;
+        fe_mul(&c, &x, &c.r2, &xm);
+        fe_mul(&c, &xm, &xm, &rhs);
+        fe_mul(&c, &rhs, &xm, &rhs);
+        fe_add(&c, &rhs, &bm, &rhs);
+        fe_pow(&c, &rhs, &e, &y);
+        fe_mul(&c, &y, &y, &y2);
+        if (memcmp(y2.w, rhs.w, 32) != 0) { flags[i] = 2; continue; }
+        fe_mul(&c, &y, &lit_one, &y);   /* canonical */
+        if ((int)(y.w[0] & 1) != ysign) {
+            u256 yn = c.p;
+            fe_sub_raw(&yn, &y);
+            y = yn;
+        }
+        memcpy(out + 64 * i, x.w, 32);
+        memcpy(out + 64 * i + 32, y.w, 32);
+        flags[i] = 1;
+    }
+    return 0;
 }
 
 /* ------------------------------------------------------------------ */

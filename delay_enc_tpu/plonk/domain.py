@@ -92,7 +92,30 @@ class Domain:
 
     def l_blind_at(self, x: int) -> int:
         """sum of l_i(x) over the blinding rows (usable+1 .. n-1)."""
-        return sum(self.lagrange_at(i, x) for i in range(self.usable_rows + 1, self.n)) % FR.p
+        vals = self.lagranges_at(range(self.usable_rows + 1, self.n), x)
+        return sum(vals.values()) % FR.p
+
+    def lagranges_at(self, idxs, x: int) -> dict:
+        """{i: l_i(x)} for several indices with ONE field inversion
+        (Montgomery batch-inversion; the verifier needs ~10 Lagrange values
+        per proof and a 254-bit `pow(d, -1, p)` each was its hottest
+        Python line)."""
+        idxs = list(idxs)
+        p = FR.p
+        xn1 = (pow(x, self.n, p) - 1) % p
+        ws = [pow(self.omega, i, p) for i in idxs]
+        dens = [self.n * (x - w) % p for w in ws]
+        pre, acc = [], 1
+        for d in dens:
+            pre.append(acc)
+            acc = acc * d % p
+        inv = pow(acc, -1, p)
+        out = {}
+        for j in range(len(dens) - 1, -1, -1):
+            di = inv * pre[j] % p
+            inv = inv * dens[j] % p
+            out[idxs[j]] = ws[j] * xn1 % p * di % p
+        return out
 
     def vanishing_at(self, x: int) -> int:
         return (pow(x, self.n, FR.p) - 1) % FR.p

@@ -26,15 +26,20 @@ WIRE_COL = {"a": 0, "b": 1, "c": 2, "d": 3}
 
 
 class _Reader:
-    def __init__(self, data: bytes, tr: Transcript):
+    def __init__(self, data: bytes, tr: Transcript, pre_pts=None):
         self.data = data
         self.off = 0
         self.tr = tr
+        self.pre_pts = pre_pts  # batch-decompressed points, stream order
 
     def point(self):
-        b = self.data[self.off : self.off + 32]
-        self.off += 32
-        pt = g1_from_bytes(b)
+        if self.pre_pts is not None:
+            pt = self.pre_pts.pop(0)
+            self.off += 32
+        else:
+            b = self.data[self.off : self.off + 32]
+            self.off += 32
+            pt = g1_from_bytes(b)
         self.tr.common_point(pt)
         return pt
 
@@ -46,6 +51,57 @@ class _Reader:
             raise ValueError("non-canonical scalar in proof")
         self.tr.common_scalar(v)
         return v
+
+
+def _predecompress(vk, proof: bytes):
+    """Batch-decompress every G1 point in the proof stream in one C call.
+    The stream layout is static per vk (every item is 32 bytes; point and
+    scalar counts depend only on LOOKUPS/QUOTIENT_PIECES/sigma count), so
+    all point offsets are known before parsing.  Returns the points in
+    stream order, or None to fall back to per-point decompression."""
+    from ..curves.bn254 import B1
+    from ..native.ec import g1_decompress_batch
+
+    L = len(LOOKUPS)
+    n_head = 5 + 2 * L + 1 + L + 1 + QUOTIENT_PIECES
+    n_scal = (
+        (5 + len(ALL_FIXED) + len(vk.sigma_commitments) + 1 + 3 * L + 1
+         + QUOTIENT_PIECES)   # names_x
+        + (2 + L)             # names_wx
+        + L                   # names_winvx
+    )
+    w_base = (n_head + n_scal) * 32
+    if len(proof) < w_base + 3 * 32:
+        raise ValueError("proof too short")
+    blob = proof[: n_head * 32] + proof[w_base : w_base + 3 * 32]
+    pts = g1_decompress_batch(blob, n_head + 3, B1)
+    if pts == "unavailable":
+        return None
+    return pts
+
+
+def _fixed_first_msm(vk, fixed_pairs, var_pairs):
+    """MSM over fixed-first partitioned (scalar, point) pairs, using the
+    per-vk precomputed wNAF tables when the C library is available.  The
+    fixed partition order is deterministic per vk (names_x order + G), so
+    the table blob is built once and cached on the vk object."""
+    from ..native import ec
+
+    scalars = [s for s, _ in fixed_pairs] + [s for s, _ in var_pairs]
+    points = [p for _, p in fixed_pairs] + [p for _, p in var_pairs]
+    pretab = getattr(vk, "_msm_pretab", None)
+    if pretab is None and not getattr(vk, "_msm_pretab_failed", False):
+        pretab = ec.msm_precompute([p for _, p in fixed_pairs])
+        if pretab is None:
+            vk._msm_pretab_failed = True  # no C library: don't retry
+        else:
+            vk._msm_pretab = pretab
+    if pretab is not None:
+        res = ec.msm_host(scalars, points, P, pretab=pretab,
+                          npre=len(fixed_pairs))
+        if res != "unavailable":
+            return res
+    return G1.multi_scalar_mul(scalars, points)
 
 
 def verify_proof(srs, vk: VerifyingKey, proof: bytes, instances=None) -> bool:
@@ -63,7 +119,7 @@ def _verify(srs, vk: VerifyingKey, proof: bytes, instances) -> bool:
     tr.common_scalar(vk.transcript_repr)
     for v in instances:
         tr.common_scalar(v)
-    rd = _Reader(proof, tr)
+    rd = _Reader(proof, tr, pre_pts=_predecompress(vk, proof))
 
     advice_c = [rd.point() for _ in range(NUM_ADVICE)]
     theta = tr.challenge()
@@ -103,17 +159,23 @@ def _verify(srs, vk: VerifyingKey, proof: bytes, instances) -> bool:
     adv = [ev_x[("advice", c)] for c in range(NUM_ADVICE)]
     fx = {name: ev_x[("fixed", name)] for name in ALL_FIXED}
     sig = [ev_x[("sigma", c)] for c in range(len(vk.sigma_commitments))]
+    # all Lagrange values this proof needs, with one shared inversion:
+    # l_0, l_last, the blinding rows, and one per public input
+    lag_idx = ([0, domain.usable_rows]
+               + list(range(domain.usable_rows + 1, domain.n))
+               + list(range(len(instances))))
+    lag = domain.lagranges_at(sorted(set(lag_idx)), x)
     # instance polynomial evaluated directly from the public values
     inst_x = 0
     for j, v in enumerate(instances):
-        inst_x = (inst_x + v * domain.lagrange_at(j, x)) % P
+        inst_x = (inst_x + v * lag[j]) % P
     zp_x = ev_x[("z_perm", 0)]
     zp_wx = ev_wx[("z_perm", 0)]
     e_wx = ev_wx[("advice", 4)]
 
-    l0 = domain.lagrange_at(0, x)
-    l_last = domain.lagrange_at(domain.usable_rows, x)
-    l_blind = domain.l_blind_at(x)
+    l0 = lag[0]
+    l_last = lag[domain.usable_rows]
+    l_blind = sum(lag[i] for i in range(domain.usable_rows + 1, domain.n)) % P
     mask = (1 - l_last - l_blind) % P
 
     from .keygen import DELTA
@@ -136,9 +198,11 @@ def _verify(srs, vk: VerifyingKey, proof: bytes, instances) -> bool:
     exprs.append(l_last * (zp_x * zp_x - zp_x) % P)
     left, right = zp_wx, zp_x
     perm_vals = adv + [inst_x]
+    dpow = 1
     for c in range(len(perm_vals)):
         left = left * ((perm_vals[c] + beta * sig[c] + gamma) % P) % P
-        right = right * ((perm_vals[c] + beta * pow(DELTA, c, P) * x + gamma) % P) % P
+        right = right * ((perm_vals[c] + beta * dpow * x + gamma) % P) % P
+        dpow = dpow * DELTA % P
     exprs.append(mask * (left - right) % P)
 
     s_exp = (fx["table_tag"] + theta * fx["table_tag"] * fx["table_value"]) % P
@@ -206,23 +270,27 @@ def _verify(srs, vk: VerifyingKey, proof: bytes, instances) -> bool:
     #   p_comb = sum_s u^s (z_s W_s + sum_i v^i C_{s,i} - e_s G)
     #   w_comb = sum_s u^s W_s
     # (shared-doubling multi-exponentiation — one Jacobian chain instead of
-    # ~40 independent 254-bit scalar muls).
-    scalars, points = [], []
+    # ~40 independent 254-bit scalar muls).  The vk-fixed points (fixed
+    # column + sigma commitments + the generator) are partitioned to the
+    # front with wNAF tables precomputed ONCE per vk (cached on the vk
+    # object): repeat verifications skip their per-call table build and
+    # use a wider window.
+    fixed_pairs, var_pairs = [], []
     g_scalar = 0
     u_pow = 1
     for (names, evs, z), w_pt in zip(sets, w_points):
         v_pow = 1
         for nm in names:
-            scalars.append(u_pow * v_pow % P)
-            points.append(comm_map[nm])
-            g_scalar = (g_scalar + u_pow * v_pow % P * evs[nm]) % P
+            sc = u_pow * v_pow % P
+            (fixed_pairs if nm[0] in ("fixed", "sigma") else var_pairs).append(
+                (sc, comm_map[nm])
+            )
+            g_scalar = (g_scalar + sc * evs[nm]) % P
             v_pow = v_pow * v % P
-        scalars.append(u_pow * z % P)
-        points.append(w_pt)
+        var_pairs.append((u_pow * z % P, w_pt))
         u_pow = u_pow * u % P
-    scalars.append((-g_scalar) % P)
-    points.append(G1_GEN)
-    p_comb = G1.multi_scalar_mul(scalars, points)
+    fixed_pairs.append(((-g_scalar) % P, G1_GEN))
+    p_comb = _fixed_first_msm(vk, fixed_pairs, var_pairs)
     w_comb = G1.multi_scalar_mul(
         [pow(u, s, P) for s in range(len(w_points))], w_points
     )
