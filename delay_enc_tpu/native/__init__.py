@@ -25,16 +25,18 @@ def _build(src: str, so: str) -> bool:
     # compile to a temp path, then atomically rename: overwriting the .so
     # in place would remap pages under any live process that has it
     # dlopen'd (SIGBUS hazard for a concurrently-running bench)
-    try:
-        subprocess.run(
-            ["cc", "-O3", "-shared", "-fPIC", "-o", so + ".tmp", src],
-            check=True,
-            capture_output=True,
-        )
-        os.replace(so + ".tmp", so)
-        return True
-    except Exception:
-        return False
+    for flags in (["-O3", "-march=native"], ["-O3"]):
+        try:
+            subprocess.run(
+                ["cc", *flags, "-shared", "-fPIC", "-o", so + ".tmp", src],
+                check=True,
+                capture_output=True,
+            )
+            os.replace(so + ".tmp", so)
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def _load(name: str):
