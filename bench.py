@@ -661,15 +661,19 @@ def bench_auto(args):
     )
     res_pose = res_delay = None
     if probe_device(args):
-        res_pose = _run_stage(
-            "pose_enc", ["--workload", "pose_enc"],
-            min(deadline, time.time()
-                + max(240.0, min(480.0, (deadline - time.time()) / 4))),
-        )
+        # headline first, with the FULL remaining budget: even fully
+        # compile-cached, a fresh process pays ~10-20 min loading the big
+        # cached executables through the relay before the first proof
+        # (round-4 finding; in-process repeats then run ~8 s each).
+        # pose_enc only gets whatever is left after delay_enc banks.
         res_delay = _run_stage(
             "delay_enc", ["--workload", "delay_enc"], deadline,
             repeats=args.repeats,
         )
+        if deadline - time.time() > 400:
+            res_pose = _run_stage(
+                "pose_enc", ["--workload", "pose_enc"], deadline,
+            )
     else:
         print("# device unavailable — emitting host-only result",
               file=sys.stderr, flush=True)

@@ -263,6 +263,27 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
             print(f"#   phase {name}: {now - _t[0]:.2f}s", file=_sys.stderr, flush=True)
         _t[0] = now
 
+    # sub-phase attribution (DELAY_ENC_PROFILE_FINE=1): where inside a
+    # phase the time goes — host witness prep vs device launches vs the
+    # fold/transfer sync.  `sync=` blocks on the given device arrays so
+    # the async dispatch cost lands on the right mark; this adds sync
+    # overhead, so it is OFF unless explicitly requested.  Pure host-side
+    # timers: the traced kernels (and the compile cache) are unchanged.
+    fine = bool(os.environ.get("DELAY_ENC_PROFILE_FINE"))
+    _tf = [_time.time()]
+
+    def _fine(name, sync=None):
+        if not fine:
+            return
+        import sys as _sys
+
+        if sync is not None:
+            jax.block_until_ready(sync)
+        now = _time.time()
+        print(f"#     sub {name}: {now - _tf[0]:.3f}s", file=_sys.stderr,
+              flush=True)
+        _tf[0] = now
+
     if rng is None:
         rng = np.random.default_rng()
     ctx = CTX
@@ -299,27 +320,33 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
         return commit_many([coeff])[0]
 
     # ---- 1. advice columns -------------------------------------------
+    _fine("phase1 start")
     advice_host = []
     for c in range(NUM_ADVICE):
         col = list(builder.advice[c]) + [0] * (n - builder.rows)
         for r in range(usable, n):
             col[r] = _rand_fr(rng)
         advice_host.append(col)
+    _fine("advice host build")
     advice_raw = [jnp.asarray(ctx.to_mont_np(col)) for col in advice_host]
     # instance column: public values padded with zeros, NOT blinded
     instance_col = list(builder.instance) + [0] * (n - len(builder.instance))
     instance_raw = jnp.asarray(ctx.to_mont_np(instance_col))
+    _fine("advice to_mont")
     coeffs6 = to_coeff_batch(advice_raw + [instance_raw])
+    _fine("advice iNTT", sync=coeffs6)
     advice_coeff = [coeffs6[c] for c in range(NUM_ADVICE)]
     instance_coeff = coeffs6[NUM_ADVICE]
     for pt in commit_many(advice_coeff):
         tr.write_point(pt)
+    _fine("advice commit+fold")
     _phase("advice commit")
 
     # ---- 2. lookups ---------------------------------------------------
     theta = tr.challenge()
     theta_m = _mont1(theta)
 
+    _fine("phase2 start")
     s_raw = _jit_compress(pk.fixed_raw["table_tag"], pk.fixed_raw["table_value"], theta_m)
     # Permuted columns via u32 (tag, value) pair keys — see _permuted_columns.
     from ..cs.range import build_table
@@ -337,7 +364,9 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
         pad = [_rand_fr(rng) for _ in range(n - usable)]
         ap_raw[l] = jnp.asarray(ctx.to_mont_np(ap_vals + pad))
         sp_raw[l] = jnp.asarray(ctx.to_mont_np(sp_vals + pad))
+    _fine("lookup host permute+to_mont")
     lk8 = to_coeff_batch([ap_raw[l] for l in LOOKUPS] + [sp_raw[l] for l in LOOKUPS])
+    _fine("lookup iNTT", sync=lk8)
     ap_coeff = {l: lk8[i] for i, l in enumerate(LOOKUPS)}
     sp_coeff = {l: lk8[4 + i] for i, l in enumerate(LOOKUPS)}
     lk_pts = commit_many(
@@ -345,6 +374,7 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     )
     for pt in lk_pts:
         tr.write_point(pt)
+    _fine("lookup commit+fold")
     _phase("lookup permuted")
 
     # ---- 3. grand products -------------------------------------------
@@ -353,11 +383,13 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     beta_m, gamma_m = _mont1(beta), _mont1(gamma)
     active = jnp.asarray(np.arange(n) < usable)
 
+    _fine("phase3 start")
     omega_col, cur = [], 1
     for _ in range(n):
         omega_col.append(cur)
         cur = cur * domain.omega % FR.p
     omega_dev = jnp.asarray(ctx.to_mont_np(omega_col))
+    _fine("gp omega host")
     sigma_raw = _jit_evals_batch(jnp.stack(pk.sigma_coeff), plan.tw)
     sigma_raw = [sigma_raw[c] for c in range(len(pk.sigma_coeff))]
     # all 5 grand products (permutation + 4 lookups) batched: one partials
@@ -373,7 +405,9 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     num_a, pre, suf, totals = _jit_gp_partials_batch(
         jnp.stack(nums), jnp.stack(dens), active
     )
+    _fine("gp fracs+partials launch")
     total_ints = ctx.from_mont_np(np.asarray(jax.device_get(totals)))
+    _fine("gp totals d2h")
     if any(t == 0 for t in total_ints):
         raise ValueError("grand product denominator vanished")
     total_inv_m = jnp.asarray(ctx.to_mont_np([pow(t, -1, FR.p) for t in total_ints]))
@@ -382,10 +416,12 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     ).reshape(5, n - usable - 1, L.NLIMB)
     z5 = _jit_gp_finish_batch(num_a, pre, suf, total_inv_m, blind)
     z5_coeff = _jit_coeff_batch(z5, plan.tw_inv, plan.n_inv)
+    _fine("gp finish+iNTT", sync=z5_coeff)
     z_perm_coeff = z5_coeff[0]
     z_lookup_coeff = {l: z5_coeff[1 + i] for i, l in enumerate(LOOKUPS)}
     for pt in commit_many([z_perm_coeff] + [z_lookup_coeff[l] for l in LOOKUPS]):
         tr.write_point(pt)
+    _fine("gp commit+fold")
     _phase("grand products")
 
     # ---- 4. random poly ----------------------------------------------
@@ -413,9 +449,11 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
         )
     else:
         # one batched extended-coset NTT for every opened witness polynomial
+        _fine("phase5 start")
         ext_stack = _jit_ext_batch(
             jnp.stack(witness_coeffs), pk.zeta_powers, plan_ext.tw,
         )
+        _fine("quotient ext NTT", sync=ext_stack)
         advice_ext = [ext_stack[c] for c in range(NUM_ADVICE)]
         instance_ext = ext_stack[NUM_ADVICE]
         z_perm_ext = ext_stack[NUM_ADVICE + 1]
@@ -436,9 +474,11 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
         # them, and at k=17 they hold ~1.5 GB of HBM
         del advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext, ext_stack
     del a_raw, ap_raw, sp_raw, s_raw, num_a, pre, suf, omega_dev, sigma_raw
+    _fine("quotient eval+iNTT", sync=h_coeff)
     h_pieces = [h_coeff[i * n : (i + 1) * n] for i in range(QUOTIENT_PIECES)]
     for pt in commit_many(h_pieces):
         tr.write_point(pt)
+    _fine("quotient commit+fold")
     _phase("quotient")
 
     # ---- 6. evaluations ------------------------------------------------
