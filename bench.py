@@ -296,6 +296,81 @@ def bench_verify(args, cfg):
             "repeats": reps, "proof_bytes": len(proof)}
 
 
+def _daemon_try(args, cfg, req: dict, result, metric_extra=None):
+    """If a warm prover daemon is serving this workload, take the steady
+    numbers from it (delay_enc_tpu/runtime/daemon.py): the daemon already
+    paid the one-time executable-load tax, so the metric reflects the
+    steady-state regime — the same one the reference's criterion bench
+    measures.  The proof bytes are INDEPENDENTLY verified here (host-only
+    vk + C verifier) before any metric is trusted.  Returns the final
+    metric dict, or None to fall back to the inline path."""
+    from delay_enc_tpu.runtime import daemon_request
+
+    st = daemon_request({"cmd": "ping"})
+    if not st or not st.get("ok"):
+        return None
+    key = (f"batch:{req['k']}:{req['b']}" if req["cmd"] == "batch"
+           else f"{req['workload']}:{req['k']}")
+    if key not in st.get("warm", []):
+        print(f"# daemon up but {key} not warm "
+              f"(warm={st.get('warm')}, warming={st.get('warming')})",
+              file=sys.stderr, flush=True)
+        return None
+    print(f"# daemon serving {key} (uptime {st.get('uptime_s')}s)",
+          file=sys.stderr, flush=True)
+    extra = dict(metric_extra or {})
+
+    def on_event(d):
+        if d.get("event") != "repeat" or not d.get("seconds"):
+            return
+        if req["cmd"] == "batch":
+            _emit({"metric": f"batch{req['b']}_delay_enc_k{req['k']}_proofs_per_s",
+                   "value": d.get("proofs_per_s"), "unit": "proofs/s",
+                   "vs_baseline": round(d["proofs_per_s"] *
+                                        BASELINES[("batch", req["k"])], 3),
+                   "repeats": d.get("i"), "warm_daemon": True})
+        else:
+            _emit(result(d["seconds"], repeats=d.get("i"),
+                         phases_s=d.get("phases_s"), warm_daemon=True, **extra))
+
+    budget = max(60.0, _left(args) - 30.0)
+    req = dict(req, budget_s=round(budget, 1))
+    fin = daemon_request(req, on_event=on_event, timeout=budget)
+    if not fin or fin.get("event") != "done" or not fin.get("verified"):
+        print(f"# daemon result unusable: {fin!r}", file=sys.stderr, flush=True)
+        return None
+    # trust, then verify: check the returned proof with the host-only path
+    try:
+        from delay_enc_tpu.plonk import SRS
+        from delay_enc_tpu.plonk import verify_proof as _vp
+        from delay_enc_tpu.plonk.serialize import load_vk
+
+        vk = load_vk(fin["vk_path"] + ".vk.npz")
+        srs_meta = SRS.load_host_meta(os.path.join(
+            cfg.prover.srs_cache_dir, f"srs_bn254_k{req['k']}.npz"))
+        proof = bytes.fromhex(fin["proof_hex"])
+        if not _vp(srs_meta, vk, proof):
+            print("# daemon proof FAILED client-side verification",
+                  file=sys.stderr, flush=True)
+            return None
+        print(f"# daemon proof verified client-side ({len(proof)}B)",
+              file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"# daemon proof client-side verify unavailable: {e!r}",
+              file=sys.stderr, flush=True)
+        return None
+    if req["cmd"] == "batch":
+        return {"metric": f"batch{fin['b']}_delay_enc_k{req['k']}_proofs_per_s",
+                "value": fin["proofs_per_s"], "unit": "proofs/s",
+                "vs_baseline": round(
+                    fin["proofs_per_s"] * BASELINES[("batch", req["k"])], 3),
+                "repeats": fin.get("repeats"), "warm_daemon": True,
+                "verified": True, "warmup_s": fin.get("warmup_s")}
+    return result(fin["best_s"], repeats=fin.get("repeats"), warm_daemon=True,
+                  verified=True, warmup_s=fin.get("warmup_s"),
+                  proof_bytes=len(proof), **extra)
+
+
 def bench_prove(args, cfg):
     from delay_enc_tpu.plonk import SRS, create_proof, verify_proof
     from delay_enc_tpu.plonk.keygen import min_k
@@ -333,6 +408,13 @@ def bench_prove(args, cfg):
         }
         out.update(extra)
         return out
+
+    if not suffix:  # daemon warms the default rows only
+        res = _daemon_try(args, cfg,
+                          {"cmd": "prove", "workload": args.workload, "k": k,
+                           "repeats": max(args.repeats, 2)}, result)
+        if res is not None:
+            return res
 
     t0 = time.time()
     srs = SRS.setup(k, cache_dir=cfg.prover.srs_cache_dir)
@@ -404,6 +486,12 @@ def bench_batch(args, cfg):
     B = args.batch or (4 if k_guess >= 16 else 8)
     builders = [build_circuit("delay_enc", cfg, seed=100 + i) for i in range(B)]
     k = args.k or cfg.prover.k or max(min_k(builders[0]), 16)
+    if not args.serial:
+        res = _daemon_try(args, cfg, {"cmd": "batch", "k": k, "b": B,
+                                      "repeats": max(args.repeats, 2)},
+                          result=None)
+        if res is not None:
+            return res
     srs = SRS.setup(k, cache_dir=cfg.prover.srs_cache_dir)
     pk, vk, _ = get_keys("delay_enc", builders[0], srs, k,
                          cfg.prover.key_cache_dir or cfg.prover.srs_cache_dir)
@@ -670,21 +758,35 @@ def bench_auto(args):
             "delay_enc", ["--workload", "delay_enc"], deadline,
             repeats=args.repeats,
         )
+        # batch throughput: only when the warm daemon serves it (a cold
+        # batched-kernel compile would eat the whole remaining budget)
+        res_batch = None
+        try:
+            from delay_enc_tpu.runtime import daemon_request
+
+            st = daemon_request({"cmd": "ping"}) or {}
+        except Exception:
+            st = {}
+        if "batch:16:4" in st.get("warm", []) and deadline - time.time() > 240:
+            res_batch = _run_stage(
+                "batch", ["--workload", "batch", "--batch", "4"], deadline,
+            )
         if deadline - time.time() > 400:
             res_pose = _run_stage(
                 "pose_enc", ["--workload", "pose_enc"], deadline,
             )
     else:
+        res_batch = None
         print("# device unavailable — emitting host-only result",
               file=sys.stderr, flush=True)
 
-    final = dict(res_delay or res_pose or res_verify
+    final = dict(res_delay or res_batch or res_pose or res_verify
                  or {**placeholder, "status": "no-measurement"})
     final["banked"] = {
         tag: {"metric": r["metric"], "value": r["value"],
               "vs_baseline": r.get("vs_baseline")}
         for tag, r in (("verify", res_verify), ("pose_enc", res_pose),
-                       ("delay_enc", res_delay)) if r
+                       ("batch", res_batch), ("delay_enc", res_delay)) if r
     }
     return final
 

@@ -252,7 +252,7 @@ def create_proofs_batched(srs, pk: ProvingKey, builders, rng=None, mesh=None,
     open_stack = jnp.concatenate(
         [coeff_b, z_coeff, ap_coeff, sp_coeff], axis=1
     )  # (B, 6+5+4+4=19, n, 16)
-    ext = K._jit_ext_batch(
+    ext = K.ext_batch_padded(
         open_stack.reshape(B * 19, n, L.NLIMB), pk.zeta_powers, plan_ext.tw
     ).reshape(B, 19, domain.n_ext, L.NLIMB)
 

@@ -51,6 +51,24 @@ _jit_evals = jax.jit(lambda coeff, tws: _stockham(CTX, coeff, tws))
 # launch overhead amortizes across the stack
 _jit_coeff_batch = jax.jit(jax.vmap(_coeff, in_axes=(0, None, None)))
 _jit_ext_batch = jax.jit(jax.vmap(_ext, in_axes=(0, None, None)))
+
+
+def ext_batch_padded(stack, zeta_powers, tws_ext):
+    """_jit_ext_batch with one sacrificial tail poly.
+
+    XLA:TPU miscompiles the vmapped extended-coset NTT at the k=16 proof
+    shape (19, 2^16)->(19, 2^19): every output of the LAST stack element
+    is wrong (round-4 finding, .round4/extcheck2.log — polys 0-17 exact,
+    poly 18 corrupt at every sampled position, not an alias of any input;
+    the identical 19-wide launch at k=11 is correct, so the trigger is
+    the large-buffer shape, not the batch width).  Appending one zero
+    poly and slicing it off moves the corruption onto a dummy slot —
+    verified exact for all 19 real polys on hardware
+    (.round4/extcheck3.log).  Costs one extra NTT lane (~5%)."""
+    pad = jnp.zeros((1,) + stack.shape[1:], stack.dtype)
+    out = _jit_ext_batch(jnp.concatenate([stack, pad], axis=0),
+                         zeta_powers, tws_ext)
+    return out[:-1]
 _jit_evals_batch = jax.jit(jax.vmap(lambda coeff, tws: _stockham(CTX, coeff, tws),
                                     in_axes=(0, None)))
 

@@ -52,6 +52,7 @@ CTX = L.FR_CTX
 
 from .kernels import (
     _jit_canon_batch,
+    ext_batch_padded,
     msm_commit_batch,
     _jit_coeff,
     _jit_coeff_batch,
@@ -312,12 +313,19 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
 
     pair_tables = srs.msm_tables()
 
-    def commit_many(coeffs):
-        stacked = _jit_canon_batch(jnp.stack(coeffs))
-        return msm_commit_batch(pair_tables, stacked)
+    from . import selfcheck as SC
 
-    def commit_coeff(coeff):
-        return commit_many([coeff])[0]
+    sc_level = SC.level() if os.environ.get("DELAY_ENC_SELFCHECK") else 0
+
+    def commit_many(coeffs, tag=""):
+        stacked = _jit_canon_batch(jnp.stack(coeffs))
+        pts = msm_commit_batch(pair_tables, stacked)
+        if sc_level:
+            SC.check_commits(srs, coeffs, pts, tag or "commit")
+        return pts
+
+    def commit_coeff(coeff, tag=""):
+        return commit_many([coeff], tag)[0]
 
     # ---- 1. advice columns -------------------------------------------
     _fine("phase1 start")
@@ -337,7 +345,7 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     _fine("advice iNTT", sync=coeffs6)
     advice_coeff = [coeffs6[c] for c in range(NUM_ADVICE)]
     instance_coeff = coeffs6[NUM_ADVICE]
-    for pt in commit_many(advice_coeff):
+    for pt in commit_many(advice_coeff, 'advice'):
         tr.write_point(pt)
     _fine("advice commit+fold")
     _phase("advice commit")
@@ -370,7 +378,7 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     ap_coeff = {l: lk8[i] for i, l in enumerate(LOOKUPS)}
     sp_coeff = {l: lk8[4 + i] for i, l in enumerate(LOOKUPS)}
     lk_pts = commit_many(
-        [c for l in LOOKUPS for c in (ap_coeff[l], sp_coeff[l])]
+        [c for l in LOOKUPS for c in (ap_coeff[l], sp_coeff[l])], 'lookup'
     )
     for pt in lk_pts:
         tr.write_point(pt)
@@ -419,14 +427,14 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     _fine("gp finish+iNTT", sync=z5_coeff)
     z_perm_coeff = z5_coeff[0]
     z_lookup_coeff = {l: z5_coeff[1 + i] for i, l in enumerate(LOOKUPS)}
-    for pt in commit_many([z_perm_coeff] + [z_lookup_coeff[l] for l in LOOKUPS]):
+    for pt in commit_many([z_perm_coeff] + [z_lookup_coeff[l] for l in LOOKUPS], 'gp'):
         tr.write_point(pt)
     _fine("gp commit+fold")
     _phase("grand products")
 
     # ---- 4. random poly ----------------------------------------------
     random_coeff = jnp.asarray(_rand_fr_mont_bulk(rng, n))
-    tr.write_point(commit_coeff(random_coeff))
+    tr.write_point(commit_coeff(random_coeff, 'random'))
 
     # ---- 5. quotient ---------------------------------------------------
     y = tr.challenge()
@@ -450,7 +458,7 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     else:
         # one batched extended-coset NTT for every opened witness polynomial
         _fine("phase5 start")
-        ext_stack = _jit_ext_batch(
+        ext_stack = ext_batch_padded(
             jnp.stack(witness_coeffs), pk.zeta_powers, plan_ext.tw,
         )
         _fine("quotient ext NTT", sync=ext_stack)
@@ -476,7 +484,7 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     del a_raw, ap_raw, sp_raw, s_raw, num_a, pre, suf, omega_dev, sigma_raw
     _fine("quotient eval+iNTT", sync=h_coeff)
     h_pieces = [h_coeff[i * n : (i + 1) * n] for i in range(QUOTIENT_PIECES)]
-    for pt in commit_many(h_pieces):
+    for pt in commit_many(h_pieces, 'quotient'):
         tr.write_point(pt)
     _fine("quotient commit+fold")
     _phase("quotient")
@@ -527,7 +535,11 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
         z_m = jnp.asarray(ctx.to_mont_np([point]))[0]
         zinv_m = jnp.asarray(ctx.to_mont_np([pow(point, -1, FR.p)]))[0]
         ws.append(_jit_gwc_witness(stacks[key], v_m0, z_m, zinv_m))
-    for pt in commit_many(ws):
+    if sc_level >= 2:
+        for w_dev, (key, point) in zip(ws, (("x", x), ("wx", x_w),
+                                            ("winvx", x_winv))):
+            SC.check_gwc_witness(stacks[key], w_dev, v, point, key)
+    for pt in commit_many(ws, 'gwc'):
         tr.write_point(pt)
     _phase("gwc")
 

@@ -1,0 +1,76 @@
+"""Warm prover daemon protocol tests (delay_enc_tpu/runtime/daemon.py).
+
+Uses the daemon's `stub` workload: the full socket protocol — warming
+order, ping status, streamed repeat events, not-warm errors, shutdown —
+without any device work, so the test runs in seconds on CPU.
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+from delay_enc_tpu.runtime import daemon_request
+
+
+@pytest.fixture(scope="module")
+def stub_daemon(tmp_path_factory):
+    sock = str(tmp_path_factory.mktemp("daemon") / "d.sock")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "delay_enc_tpu.runtime.daemon",
+         "--warm", "stub", "--socket", sock],
+        env=env, stderr=subprocess.DEVNULL,
+    )
+    try:
+        deadline = time.time() + 90
+        st = None
+        while time.time() < deadline:
+            st = daemon_request({"cmd": "ping"}, socket_path=sock)
+            if st and st.get("ok") and "stub:0" in st.get("warm", []):
+                break
+            time.sleep(0.5)
+        assert st and "stub:0" in st.get("warm", []), f"daemon never warmed: {st}"
+        yield sock
+    finally:
+        daemon_request({"cmd": "shutdown"}, socket_path=sock)
+        try:
+            proc.wait(10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
+def test_ping_status(stub_daemon):
+    st = daemon_request({"cmd": "ping"}, socket_path=stub_daemon)
+    assert st["ok"] and st["warm"] == ["stub:0"]
+    assert st["queued"] == 0 and st["uptime_s"] >= 0
+
+
+def test_prove_streams_events(stub_daemon):
+    evs = []
+    fin = daemon_request(
+        {"cmd": "prove", "workload": "stub", "k": 0, "repeats": 3,
+         "budget_s": 30},
+        on_event=evs.append, timeout=30, socket_path=stub_daemon)
+    assert fin["event"] == "done" and fin["repeats"] == 3
+    assert [e["i"] for e in evs] == [1, 2, 3]
+    assert bytes.fromhex(fin["proof_hex"]) == b"stub"
+
+
+def test_not_warm_is_error_with_status(stub_daemon):
+    fin = daemon_request({"cmd": "prove", "workload": "delay_enc", "k": 16},
+                         socket_path=stub_daemon)
+    assert fin["event"] == "error" and "not warm" in fin["error"]
+    assert fin["warm"] == ["stub:0"]  # status piggybacked for the client log
+
+
+def test_unknown_cmd(stub_daemon):
+    fin = daemon_request({"cmd": "nonsense"}, socket_path=stub_daemon)
+    assert fin["event"] == "error"
+
+
+def test_absent_daemon_returns_none(tmp_path):
+    assert daemon_request({"cmd": "ping"},
+                          socket_path=str(tmp_path / "nope.sock")) is None

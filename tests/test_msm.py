@@ -1,6 +1,7 @@
 import numpy as np
 
 import jax
+import pytest
 
 from delay_enc_tpu.curves.bn254 import G1, G1_GEN
 from delay_enc_tpu.fields import FR
@@ -97,3 +98,22 @@ def test_stockham_list_path_matches_fallback(monkeypatch):
     monkeypatch.setattr(L, "_backend_unrolls", lambda: False)
     ref = np.asarray(stockham(L.FR_CTX, a, plan.tw))
     assert (got == ref).all()
+
+
+@pytest.mark.slow
+def test_plane_sums_wide_levels_match_host(monkeypatch):
+    """n=256 exercises the UNROLLED wide tree levels (width 128 > TAIL_W)
+    of the TPU limb-row path — the n=16 test above only reaches the fori
+    tail, so a wide-level bug (u16 inter-level recast, halving slices) was
+    previously invisible to the suite.  Eager on CPU (~90 s)."""
+    from delay_enc_tpu.ops import limbs as L
+
+    monkeypatch.setattr(L, "_backend_unrolls", lambda: True)
+    rng = np.random.default_rng(11)
+    n = 256
+    pts = _host_points(n, 11)
+    scalars = [FR.random(rng) for _ in range(n)]
+    with jax.disable_jit():
+        result = M.msm(M.points_to_device(pts), M.scalars_to_limbs(scalars))
+        got = M.points_from_device(np.asarray(result)[None])[0]
+    assert got == G1.msm(scalars, pts)
