@@ -76,7 +76,7 @@ def _parse_warm(spec: str) -> list[WarmEntry]:
 class Daemon:
     def __init__(self, warm_specs: list[WarmEntry], socket_path: str):
         self.entries: dict[str, WarmEntry] = {e.key: e for e in warm_specs}
-        self.order = [e.key for e in warm_specs]
+        self.pending = [e.key for e in warm_specs]
         self.socket_path = socket_path
         self.state_lock = threading.Lock()
         self.warm: list[str] = []
@@ -90,7 +90,8 @@ class Daemon:
     def _status(self) -> dict:
         with self.state_lock:
             return {"ok": True, "warm": list(self.warm), "warming": self.warming,
-                    "busy": self.busy, "uptime_s": round(time.time() - self.t0, 1),
+                    "pending_warm": list(self.pending), "busy": self.busy,
+                    "uptime_s": round(time.time() - self.t0, 1),
                     "queued": self.jobs.qsize()}
 
     def _serve_thread(self):
@@ -129,6 +130,18 @@ class Daemon:
             conn.close()
             return
         if req.get("cmd") == "ping":
+            _send(conn, self._status())
+            conn.close()
+            return
+        if req.get("cmd") == "set_warm":
+            # replace the PENDING warm list (the in-flight entry finishes;
+            # use this to stop a long warm queue from blocking requests)
+            new = _parse_warm(req.get("warm", ""))
+            with self.state_lock:
+                for e in new:
+                    self.entries.setdefault(e.key, e)
+                self.pending[:] = [e.key for e in new
+                                   if e.key not in self.warm]
             _send(conn, self._status())
             conn.close()
             return
@@ -208,9 +221,10 @@ class Daemon:
                 continue
             GLOBAL_METRICS.spans.clear()
             e.seed += 1
+            seed = int(req["seed"]) if "seed" in req else e.seed
             t0 = time.time()
             proof = create_proof(e.srs, e.pk, e.builders[0],
-                                 np.random.default_rng(e.seed))
+                                 np.random.default_rng(seed))
             times.append(time.time() - t0)
             phases = {nm: round(v, 4) for nm, v in GLOBAL_METRICS.spans.items()}
             _send(conn, {"event": "repeat", "i": i + 1,
@@ -311,7 +325,6 @@ class Daemon:
     # ------------------------------------------------------------- main
     def run(self):
         threading.Thread(target=self._serve_thread, daemon=True).start()
-        pending = list(self.order)
         while not self._stop:
             try:
                 conn, req = self.jobs.get(timeout=0.5)
@@ -319,8 +332,9 @@ class Daemon:
                 continue
             except queue.Empty:
                 pass
-            if pending:
-                key = pending.pop(0)
+            with self.state_lock:
+                key = self.pending.pop(0) if self.pending else None
+            if key is not None:
                 with self.state_lock:
                     self.warming = key
                 try:

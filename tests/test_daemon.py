@@ -74,3 +74,11 @@ def test_unknown_cmd(stub_daemon):
 def test_absent_daemon_returns_none(tmp_path):
     assert daemon_request({"cmd": "ping"},
                           socket_path=str(tmp_path / "nope.sock")) is None
+
+
+def test_set_warm_replaces_pending(stub_daemon):
+    st = daemon_request({"cmd": "set_warm", "warm": "stub:0"},
+                        socket_path=stub_daemon)
+    assert st["ok"] and st["pending_warm"] == []  # stub:0 already warm
+    st = daemon_request({"cmd": "ping"}, socket_path=stub_daemon)
+    assert st["warm"] == ["stub:0"]
