@@ -311,6 +311,18 @@ def _daemon_try(args, cfg, req: dict, result, metric_extra=None):
         return None
     key = (f"batch:{req['k']}:{req['b']}" if req["cmd"] == "batch"
            else f"{req['workload']}:{req['k']}")
+    # if the daemon is warming (or has queued) exactly this key, WAIT for
+    # it rather than falling back to a cold inline start: the warm finishes
+    # sooner than a fresh process could load its executables
+    while (key not in st.get("warm", [])
+           and (st.get("warming") == key or key in st.get("pending_warm", []))
+           and _left(args) > 120):
+        print(f"# daemon warming {key} — waiting ({_left(args):.0f}s left)",
+              file=sys.stderr, flush=True)
+        time.sleep(30)
+        st = daemon_request({"cmd": "ping"})
+        if not st or not st.get("ok"):
+            return None
     if key not in st.get("warm", []):
         print(f"# daemon up but {key} not warm "
               f"(warm={st.get('warm')}, warming={st.get('warming')})",
