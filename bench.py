@@ -759,8 +759,20 @@ def bench_auto(args):
         min(deadline, time.time() + 180),
         env_extra={"JAX_PLATFORMS": "cpu"},
     )
+    # a warm daemon IS a live device: skip the probe (which can time out
+    # spuriously while background compiles saturate the relay tunnel)
+    try:
+        from delay_enc_tpu.runtime import daemon_request
+
+        daemon_live = bool((daemon_request({"cmd": "ping"}) or {}).get("warm"))
+    except Exception:
+        daemon_live = False
+    if daemon_live:
+        print("# warm daemon detected — skipping device probe",
+              file=sys.stderr, flush=True)
+
     res_pose = res_delay = None
-    if probe_device(args):
+    if daemon_live or probe_device(args):
         # headline first, with the FULL remaining budget: even fully
         # compile-cached, a fresh process pays ~10-20 min loading the big
         # cached executables through the relay before the first proof
