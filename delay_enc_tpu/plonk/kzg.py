@@ -95,13 +95,27 @@ class SRS:
     def pair_tables16(self):
         """Per-SRS base-16 pair tables in the int8 MXU-selection layout
         (n/2, 96, 256) — ops/msm16.py.  16x the base-4 table bytes
-        (805 MB at k=16), half the addition tree."""
+        (805 MB at k=16), half the addition tree.
+
+        On TPU the table is built ON DEVICE and never disk-cached: through
+        the PJRT relay a host->device upload of the cached .npy costs
+        30-130 min at tunnel bandwidth, while the on-device rebuild is ~45
+        cached batched-add launches over the already-resident SRS points
+        (the .npy cache remains for CPU runs, where rebuild means slow
+        scan-form compiles)."""
+        import jax as _jax
+
         from ..ops import msm16 as M16
 
         def build():
             tab = M16._jit_pair_tables16(self.g1_powers)
             return M16._jit_tables_to_i8(tab)
 
+        if _jax.default_backend() == "tpu":
+            key = ("16dev", self.k)
+            if key not in self._pair_tables:
+                self._pair_tables[key] = build()
+            return self._pair_tables[key]
         return self._cached_tables("16", build)
 
     def msm_tables(self):
