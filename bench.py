@@ -306,6 +306,8 @@ def _daemon_try(args, cfg, req: dict, result, metric_extra=None):
     metric dict, or None to fall back to the inline path."""
     from delay_enc_tpu.runtime import daemon_request
 
+    if os.environ.get("BENCH_NO_DAEMON"):
+        return None  # forced inline path (e.g. a CPU fallback artifact run)
     st = daemon_request({"cmd": "ping"})
     if not st or not st.get("ok"):
         return None

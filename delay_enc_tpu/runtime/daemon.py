@@ -145,6 +145,28 @@ class Daemon:
             _send(conn, self._status())
             conn.close()
             return
+        if req.get("cmd") == "setenv":
+            # flip framework tuning flags (DELAY_ENC_*) in-process: kernel
+            # variant choices (e.g. DELAY_ENC_MSM=b16) are read from the
+            # environment per commit call, so later proofs take the new
+            # path while every already-loaded executable stays resident —
+            # a fresh process would pay the 20-40 min relay reload instead
+            env = req.get("env", {})
+            applied = {}
+            for k, v in env.items():
+                if not str(k).startswith("DELAY_ENC"):
+                    continue
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = str(v)
+                applied[k] = v
+            _log(f"setenv {applied}")
+            st = self._status()
+            st["applied"] = applied
+            _send(conn, st)
+            conn.close()
+            return
         # streaming commands execute on the main (jax) thread
         self.jobs.put((conn, req))
 
@@ -188,7 +210,12 @@ class Daemon:
                                  np.random.default_rng(0))
             ok = verify_proof(e.srs, e.vk, proof,
                               instances=e.builders[0].instance)
-            if not ok:
+            if ok:
+                # bank the verified warmup proof as a bench artifact so the
+                # host-only `--workload verify` fallback has bytes to check
+                # even on a machine whose artifact cache was wiped
+                bench._save_proof_artifact(cache, wl, e.k, e.key_path, proof)
+            else:
                 # keep serving (clients see verified=false per proof and
                 # refuse the metric), but save the bytes for offline
                 # analysis — a failing proof is evidence, not garbage

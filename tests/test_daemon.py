@@ -82,3 +82,16 @@ def test_set_warm_replaces_pending(stub_daemon):
     assert st["ok"] and st["pending_warm"] == []  # stub:0 already warm
     st = daemon_request({"cmd": "ping"}, socket_path=stub_daemon)
     assert st["warm"] == ["stub:0"]
+
+
+def test_setenv_flips_tuning_flags_only(stub_daemon):
+    # DELAY_ENC_* keys apply; anything else is silently ignored (the daemon
+    # must not let a client rewrite arbitrary process environment)
+    st = daemon_request(
+        {"cmd": "setenv", "env": {"DELAY_ENC_MSM": "b16", "HOME": "/pwned"}},
+        socket_path=stub_daemon)
+    assert st["ok"] and st["applied"] == {"DELAY_ENC_MSM": "b16"}
+    # null clears the key
+    st = daemon_request({"cmd": "setenv", "env": {"DELAY_ENC_MSM": None}},
+                        socket_path=stub_daemon)
+    assert st["applied"] == {"DELAY_ENC_MSM": None}
