@@ -233,17 +233,21 @@ def get_keys(workload, builder, srs, k, cache_dir):
     return pk, vk, key_path
 
 
-def _save_proof_artifact(cache_dir, workload, k, key_path, proof: bytes):
-    """Persist a verified proof + its vk pointer so `--workload verify` can
-    bank a host-only metric in later runs (reference caches the proof the
-    same way, benches/delay_enc.rs:117-144)."""
+def _save_proof_artifact(cache_dir, workload, k, key_path, proof: bytes,
+                         srs_dir=None):
+    """Persist a verified proof + its vk/srs pointers so `--workload verify`
+    can bank a host-only metric in later runs (reference caches the proof
+    the same way, benches/delay_enc.rs:117-144).  The SRS path rides in the
+    meta because tau is sampled fresh per setup — a proof only verifies
+    against the exact SRS that produced its keys."""
     try:
         base = os.path.join(cache_dir, f"proof_{workload}_k{k}")
+        srs = os.path.join(srs_dir or cache_dir, f"srs_bn254_k{k}.npz")
         with open(base + ".bin", "wb") as f:
             f.write(proof)
         with open(base + ".json", "w") as f:
             json.dump({"vk": key_path + ".vk.npz", "proof": base + ".bin",
-                       "workload": workload, "k": k}, f)
+                       "srs": srs, "workload": workload, "k": k}, f)
         print(f"# proof artifact cached: {base}.bin", file=sys.stderr)
     except Exception as e:
         print(f"# proof cache save failed: {e}", file=sys.stderr)
@@ -264,9 +268,14 @@ def bench_verify(args, cfg):
     ]
     meta_path = workload = k = None
     for w, kk in candidates:
-        p = os.path.join(cache_dir, f"proof_{w}_k{kk}.json")
-        if os.path.exists(p):
-            meta_path, workload, k = p, w, kk
+        # bench_data_cpu holds a git-committed fallback artifact set (vk +
+        # srs + proof) so this metric survives even a full machine wipe
+        for d in (cache_dir, "bench_data_cpu"):
+            p = os.path.join(d, f"proof_{w}_k{kk}.json")
+            if os.path.exists(p):
+                meta_path, workload, k = p, w, kk
+                break
+        if meta_path:
             break
     if meta_path is None:
         return {"metric": "delay_enc_k16_verify_s", "value": None,
@@ -277,9 +286,8 @@ def bench_verify(args, cfg):
     with open(meta["proof"], "rb") as f:
         proof = f.read()
     vk = load_vk(meta["vk"])
-    srs = SRS.load_host_meta(
-        os.path.join(cfg.prover.srs_cache_dir, f"srs_bn254_k{k}.npz")
-    )
+    srs = SRS.load_host_meta(meta.get("srs") or os.path.join(
+        cfg.prover.srs_cache_dir, f"srs_bn254_k{k}.npz"))
     assert verify_proof(srs, vk, proof), "cached proof failed to verify"
     reps = max(args.repeats, 10)
     times = []

@@ -1,0 +1,88 @@
+"""MXU four-step NTT (ops/ntt_mxu.py) — bit-exactness vs. the Stockham
+path (ops/ntt.py) on CPU, including the free scale folds (coset in-scale,
+1/n out-mul, zeta^-i out-scale) used by the prover's quotient pipeline."""
+
+import numpy as np
+import pytest
+
+import delay_enc_tpu  # noqa: F401  (jax config)
+from delay_enc_tpu.fields.bn254 import FR
+from delay_enc_tpu.ops import limbs as L
+from delay_enc_tpu.ops import ntt as N
+from delay_enc_tpu.ops import ntt_mxu as NX
+
+CTX = L.FR_CTX
+
+
+def _rand_mont(rng, n):
+    vals = [int(rng.integers(0, 1 << 62)) * int(rng.integers(0, 1 << 62))
+            % FR.p for _ in range(n - 2)] + [0, FR.p - 1]
+    return np.asarray(CTX.to_mont_np(vals))
+
+
+@pytest.mark.parametrize("k", [4, 6, 7])
+def test_ntt_mxu_matches_stockham(k):
+    rng = np.random.default_rng(k)
+    n = 1 << k
+    a = _rand_mont(rng, n)
+    plan = N.NTTPlan.make(CTX, k)
+    want = np.asarray(N.ntt(plan, a))
+    plan_mxu = NX.make_plan(CTX, k, plan.omega)
+    got = np.asarray(NX.ntt_mxu(plan_mxu, a))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("k", [6])
+def test_intt_mxu_out_mul(k):
+    """Inverse NTT: omega^-1 + the 1/n factor folded into W2."""
+    rng = np.random.default_rng(10 + k)
+    n = 1 << k
+    a = _rand_mont(rng, n)
+    plan = N.NTTPlan.make(CTX, k)
+    want = np.asarray(N.intt(plan, a))
+    omega_inv = FR.inv(plan.omega)
+    plan_mxu = NX.make_plan(CTX, k, omega_inv, out_mul=FR.inv(n))
+    got = np.asarray(NX.ntt_mxu(plan_mxu, a))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_coset_in_scale_fold():
+    """zeta^j input scale folded into W1/T == coset_scale + plain NTT."""
+    k, zeta = 6, 5
+    rng = np.random.default_rng(99)
+    n = 1 << k
+    a = _rand_mont(rng, n)
+    plan = N.NTTPlan.make(CTX, k)
+    zp = N.powers(CTX, zeta, n)
+    want = np.asarray(N.ntt(plan, N.coset_scale(CTX, a, zp)))
+    plan_mxu = NX.make_plan(CTX, k, plan.omega, in_scale=zeta)
+    got = np.asarray(NX.ntt_mxu(plan_mxu, a))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_out_scale_fold():
+    """zeta^-i output scale (coset unscale after an iNTT) folded in."""
+    k, zeta = 6, 5
+    rng = np.random.default_rng(7)
+    n = 1 << k
+    a = _rand_mont(rng, n)
+    plan = N.NTTPlan.make(CTX, k)
+    zinv = FR.inv(zeta)
+    out = np.asarray(N.intt(plan, a))
+    want = np.asarray(L.mont_mul(CTX, out, N.powers(CTX, zinv, n)))
+    omega_inv = FR.inv(plan.omega)
+    plan_mxu = NX.make_plan(CTX, k, omega_inv, out_mul=FR.inv(n),
+                            out_scale=zinv)
+    got = np.asarray(NX.ntt_mxu(plan_mxu, a))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_roundtrip():
+    k = 7
+    rng = np.random.default_rng(3)
+    a = _rand_mont(rng, 1 << k)
+    plan = N.NTTPlan.make(CTX, k)
+    fwd = NX.make_plan(CTX, k, plan.omega)
+    bwd = NX.make_plan(CTX, k, FR.inv(plan.omega), out_mul=FR.inv(1 << k))
+    back = np.asarray(NX.ntt_mxu(bwd, NX.ntt_mxu(fwd, a)))
+    np.testing.assert_array_equal(back, np.asarray(a))
