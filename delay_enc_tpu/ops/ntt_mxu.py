@@ -41,7 +41,7 @@ bit in tests/test_ntt_mxu.py on CPU.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -304,9 +304,9 @@ def _redc_barrett(ctx: FieldCtx, np_band, p_band, p17, mu: int,
     return L._sub_p_if_ge(ctx, r)
 
 
-@partial(jax.jit, static_argnames=("mu", "n1", "n2"))
-def _ntt_mxu_kernel(w1_planes, w2_planes, t_table, np_band, p_band, p17,
-                    a, *, mu: int, n1: int, n2: int) -> jnp.ndarray:
+def ntt_mxu_raw(w1_planes, w2_planes, t_table, np_band, p_band, p17,
+                a, *, mu: int, n1: int, n2: int) -> jnp.ndarray:
+    """Traceable core: (n, 16) u32 Montgomery rows -> natural-order NTT."""
     ctx = L.FR_CTX
     A = a.reshape(n1, n2, NLIMB)
     # step 1 (MXU): B[i1, j2] = sum_j1 W1[i1,j1] * A[j1,j2]
@@ -322,8 +322,33 @@ def _ntt_mxu_kernel(w1_planes, w2_planes, t_table, np_band, p_band, p17,
     return Y.reshape(n1 * n2, NLIMB)
 
 
+@lru_cache(maxsize=None)
+def _jit_single(mu: int, n1: int, n2: int):
+    return jax.jit(partial(ntt_mxu_raw, mu=mu, n1=n1, n2=n2))
+
+
+@lru_cache(maxsize=None)
+def _jit_stack(mu: int, n1: int, n2: int):
+    """Batched transform over a (S, n, 16) stack.  Sequential `lax.map`
+    (NOT vmap): one poly's matmul pipeline holds ~0.3 GB of f32 column
+    intermediates at n = 2^19 — vmapping a 19-poly stack would hold all
+    lanes' intermediates live at once and OOM a 16 GB chip, while the
+    per-poly MXU launches are already large enough to saturate the core."""
+    fn = partial(ntt_mxu_raw, mu=mu, n1=n1, n2=n2)
+
+    def run(w1, w2, t, npb, pb, p17, stack):
+        return jax.lax.map(
+            lambda a: fn(w1, w2, t, npb, pb, p17, a), stack)
+
+    return jax.jit(run)
+
+
 def ntt_mxu(plan: MXUPlan, a: jnp.ndarray) -> jnp.ndarray:
     """Natural-order NTT of (n, 16) u32 Montgomery rows — bit-exact vs.
     ops/ntt.stockham with the plan's scales folded in."""
-    return _ntt_mxu_kernel(*plan.arrays, a, mu=plan.mu,
-                           n1=plan.n1, n2=plan.n2)
+    return _jit_single(plan.mu, plan.n1, plan.n2)(*plan.arrays, a)
+
+
+def ntt_mxu_stack(plan: MXUPlan, stack: jnp.ndarray) -> jnp.ndarray:
+    """(S, n, 16) stack -> (S, n, 16), one sequential device launch."""
+    return _jit_stack(plan.mu, plan.n1, plan.n2)(*plan.arrays, stack)

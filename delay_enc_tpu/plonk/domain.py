@@ -81,6 +81,41 @@ class Domain:
     def plan_ext(self) -> NTTPlan:
         return NTTPlan.make(L.FR_CTX, self.k_ext)
 
+    # ---- MXU (matmul) NTT plans: built lazily, used when the prover runs
+    # with DELAY_ENC_NTT=mxu (ops/ntt_mxu.py).  Scale folds make the coset
+    # scaling and 1/n multiplies free.
+    @cached_property
+    def mxu_fwd(self):
+        from ..ops import ntt_mxu as NX
+
+        return NX.make_plan(L.FR_CTX, self.k, self.omega)
+
+    @cached_property
+    def mxu_inv(self):
+        from ..ops import ntt_mxu as NX
+
+        return NX.make_plan(L.FR_CTX, self.k, self.omega_inv,
+                            out_mul=FR.inv(self.n))
+
+    @cached_property
+    def mxu_ext(self):
+        """coeffs (zero-padded to 8n) -> evals on the extended coset
+        zeta*H_ext: the zeta^j input scale folds into W1/T."""
+        from ..ops import ntt_mxu as NX
+
+        return NX.make_plan(L.FR_CTX, self.k_ext, self.omega_ext,
+                            in_scale=self.zeta)
+
+    @cached_property
+    def mxu_ext_inv(self):
+        """evals on zeta*H_ext -> coeffs: 1/8n and the zeta^-i unscale
+        both fold into W2/T."""
+        from ..ops import ntt_mxu as NX
+
+        return NX.make_plan(L.FR_CTX, self.k_ext, FR.inv(self.omega_ext),
+                            out_mul=FR.inv(self.n_ext),
+                            out_scale=FR.inv(self.zeta))
+
     # ---- host-side Lagrange helpers (verifier) -----------------------
     def lagrange_at(self, i: int, x: int) -> int:
         """l_i(x) = omega^i (x^n - 1) / (n (x - omega^i))."""

@@ -288,6 +288,34 @@ def _jit_quotient(advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext,
     return L.mont_mul(CTX, h_coeff, zeta_inv_powers)
 
 
+def _jit_quotient_mxu(mu: int, n1: int, n2: int):
+    """Fused quotient with the final 8n iNTT on the MXU path
+    (DELAY_ENC_NTT=mxu): the 1/8n and zeta^-i unscale factors are folded
+    into the plan's W2/T tables, so the kernel ends right after the
+    inverse transform.  Cached per extended-domain shape."""
+    from ..ops.ntt_mxu import ntt_mxu_raw
+
+    key = (mu, n1, n2)
+    if key not in _QUOT_MXU_CACHE:
+        @jax.jit
+        def kernel(advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext,
+                   sp_ext, fe, sigma_ext, masks, chals, delta_ms,
+                   zh_inv_ext, y_pows_rev, w1, w2, t, npb, pb, p17):
+            total = _quotient_expr(advice_ext, instance_ext, z_perm_ext,
+                                   z_l_ext, ap_ext, sp_ext, fe, sigma_ext,
+                                   masks, chals, delta_ms, y_pows_rev,
+                                   rot_step=MAX_DEGREE)
+            h_ext = L.mont_mul(CTX, total, zh_inv_ext)
+            return ntt_mxu_raw(w1, w2, t, npb, pb, p17, h_ext,
+                               mu=mu, n1=n1, n2=n2)
+
+        _QUOT_MXU_CACHE[key] = kernel
+    return _QUOT_MXU_CACHE[key]
+
+
+_QUOT_MXU_CACHE: dict = {}
+
+
 @jax.jit
 def _jit_quotient_coset(advice_c, instance_c, z_perm_c, z_l_c, ap_c, sp_c,
                         fe_c, sigma_c, masks_c, chals, delta_ms, zh_inv_m,

@@ -82,7 +82,10 @@ class SRS:
                 self._pair_tables[key] = tab
                 if path:
                     try:
-                        _np.save(path, _np.asarray(jax.device_get(tab)))
+                        tmp = path + ".tmp"
+                        with open(tmp, "wb") as f:
+                            _np.save(f, _np.asarray(jax.device_get(tab)))
+                        os.replace(tmp, path)
                     except Exception:
                         pass
         return self._pair_tables[key]
@@ -161,11 +164,13 @@ class SRS:
     def save(self, path: str) -> None:
         arr = np.asarray(jax.device_get(self.g1_powers))
         tg = self.tau_g2
+        from .serialize import _atomic_savez
+
         # zstd-compressing multi-GB point arrays takes minutes and the
         # entropy is near-max anyway; store big SRS files uncompressed
-        savez = np.savez if self.k >= 21 else np.savez_compressed
-        savez(
+        _atomic_savez(
             path,
+            compressed=self.k < 21,
             k=self.k,
             g1=arr,
             tau_g2=np.array(

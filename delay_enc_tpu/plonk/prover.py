@@ -304,11 +304,23 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     for v in builder.instance:
         tr.common_scalar(v)
 
+    # DELAY_ENC_NTT=mxu: run every domain transform on the matmul NTT
+    # (ops/ntt_mxu.py) — MXU dots instead of VPU butterfly ladders.  The
+    # split-quotient path (k >= 18) keeps the Stockham kernels: its
+    # per-coset transforms would need one plan per coset shift.
+    use_mxu = os.environ.get("DELAY_ENC_NTT") == "mxu" and not pk.split
+    if use_mxu:
+        from ..ops import ntt_mxu as NX
+
     def to_coeff(col):
+        if use_mxu:
+            return NX.ntt_mxu(domain.mxu_inv, col)
         return _jit_coeff(col, plan.tw_inv, plan.n_inv)
 
     def to_coeff_batch(cols):
         """One batched iNTT launch for a stack of columns."""
+        if use_mxu:
+            return NX.ntt_mxu_stack(domain.mxu_inv, jnp.stack(cols))
         return _jit_coeff_batch(jnp.stack(cols), plan.tw_inv, plan.n_inv)
 
     pair_tables = srs.msm_tables()
@@ -398,7 +410,10 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
         cur = cur * domain.omega % FR.p
     omega_dev = jnp.asarray(ctx.to_mont_np(omega_col))
     _fine("gp omega host")
-    sigma_raw = _jit_evals_batch(jnp.stack(pk.sigma_coeff), plan.tw)
+    if use_mxu:
+        sigma_raw = NX.ntt_mxu_stack(domain.mxu_fwd, jnp.stack(pk.sigma_coeff))
+    else:
+        sigma_raw = _jit_evals_batch(jnp.stack(pk.sigma_coeff), plan.tw)
     sigma_raw = [sigma_raw[c] for c in range(len(pk.sigma_coeff))]
     # all 5 grand products (permutation + 4 lookups) batched: one partials
     # launch, 5 host inversions, one finish launch, one batched iNTT
@@ -423,7 +438,10 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
         ctx.to_mont_np([_rand_fr(rng) for _ in range(5 * (n - usable - 1))])
     ).reshape(5, n - usable - 1, L.NLIMB)
     z5 = _jit_gp_finish_batch(num_a, pre, suf, total_inv_m, blind)
-    z5_coeff = _jit_coeff_batch(z5, plan.tw_inv, plan.n_inv)
+    if use_mxu:
+        z5_coeff = NX.ntt_mxu_stack(domain.mxu_inv, z5)
+    else:
+        z5_coeff = _jit_coeff_batch(z5, plan.tw_inv, plan.n_inv)
     _fine("gp finish+iNTT", sync=z5_coeff)
     z_perm_coeff = z5_coeff[0]
     z_lookup_coeff = {l: z5_coeff[1 + i] for i, l in enumerate(LOOKUPS)}
@@ -458,9 +476,17 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     else:
         # one batched extended-coset NTT for every opened witness polynomial
         _fine("phase5 start")
-        ext_stack = ext_batch_padded(
-            jnp.stack(witness_coeffs), pk.zeta_powers, plan_ext.tw,
-        )
+        if use_mxu:
+            wstack = jnp.stack(witness_coeffs)
+            padded = jnp.concatenate(
+                [wstack, jnp.zeros((wstack.shape[0],
+                                    domain.n_ext - n, L.NLIMB), jnp.uint32)],
+                axis=1)
+            ext_stack = NX.ntt_mxu_stack(domain.mxu_ext, padded)
+        else:
+            ext_stack = ext_batch_padded(
+                jnp.stack(witness_coeffs), pk.zeta_powers, plan_ext.tw,
+            )
         _fine("quotient ext NTT", sync=ext_stack)
         advice_ext = [ext_stack[c] for c in range(NUM_ADVICE)]
         instance_ext = ext_stack[NUM_ADVICE]
@@ -470,14 +496,26 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
         ap_ext = {l: ext_stack[off + 4 + i] for i, l in enumerate(LOOKUPS)}
         sp_ext = {l: ext_stack[off + 8 + i] for i, l in enumerate(LOOKUPS)}
 
-        h_coeff = _jit_quotient(
-            advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext,
-            pk.fixed_ext, pk.sigma_ext,
-            (pk.l0_ext, pk.l_last_ext, pk.l_blind_ext, pk.x_ext),
-            (theta_m, beta_m, gamma_m),
-            delta_ms, pk.zh_inv_ext, pk.zeta_inv_powers, y_pows_rev,
-            plan_ext.tw_inv, plan_ext.n_inv,
-        )
+        if use_mxu:
+            from .kernels import _jit_quotient_mxu
+
+            mp = domain.mxu_ext_inv
+            h_coeff = _jit_quotient_mxu(mp.mu, mp.n1, mp.n2)(
+                advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext,
+                sp_ext, pk.fixed_ext, pk.sigma_ext,
+                (pk.l0_ext, pk.l_last_ext, pk.l_blind_ext, pk.x_ext),
+                (theta_m, beta_m, gamma_m), delta_ms, pk.zh_inv_ext,
+                y_pows_rev, *mp.arrays,
+            )
+        else:
+            h_coeff = _jit_quotient(
+                advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext,
+                pk.fixed_ext, pk.sigma_ext,
+                (pk.l0_ext, pk.l_last_ext, pk.l_blind_ext, pk.x_ext),
+                (theta_m, beta_m, gamma_m),
+                delta_ms, pk.zh_inv_ext, pk.zeta_inv_powers, y_pows_rev,
+                plan_ext.tw_inv, plan_ext.n_inv,
+            )
         # free the extended-domain arrays — the opening phases don't need
         # them, and at k=17 they hold ~1.5 GB of HBM
         del advice_ext, instance_ext, z_perm_ext, z_l_ext, ap_ext, sp_ext, ext_stack

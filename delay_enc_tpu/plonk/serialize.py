@@ -17,8 +17,20 @@ from .domain import Domain
 from .keygen import ALL_FIXED, ProvingKey, VerifyingKey
 
 
+def _atomic_savez(path: str, compressed: bool = True, **arrays) -> None:
+    """Write-then-rename: concurrent producers (prover daemon + a parallel
+    keygen process) may race on the same artifact path; a torn npz would
+    crash whichever loads it.  os.replace is atomic on one filesystem and
+    both writers produce identical bytes (keygen is deterministic per
+    SRS + circuit), so last-writer-wins is safe."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        (np.savez_compressed if compressed else np.savez)(f, **arrays)
+    os.replace(tmp, path)
+
+
 def save_vk(vk: VerifyingKey, path: str) -> None:
-    np.savez_compressed(
+    _atomic_savez(
         path,
         k=vk.domain.k,
         fixed=np.stack(
@@ -76,7 +88,7 @@ def save_pk(pk: ProvingKey, path: str) -> None:
         arrays[f"sc_{c}"] = g(pk.sigma_coeff[c])
         if not pk.split:
             arrays[f"se_{c}"] = g(pk.sigma_ext[c])
-    np.savez_compressed(path + ".pk.npz", **arrays)
+    _atomic_savez(path + ".pk.npz", **arrays)
     save_vk(pk.vk, path + ".vk.npz")
 
 

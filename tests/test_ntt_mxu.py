@@ -86,3 +86,28 @@ def test_roundtrip():
     bwd = NX.make_plan(CTX, k, FR.inv(plan.omega), out_mul=FR.inv(1 << k))
     back = np.asarray(NX.ntt_mxu(bwd, NX.ntt_mxu(fwd, a)))
     np.testing.assert_array_equal(back, np.asarray(a))
+
+
+@pytest.mark.slow
+def test_prover_mxu_gate_byte_identical(monkeypatch):
+    """DELAY_ENC_NTT=mxu routes every prover domain transform through the
+    matmul NTT; the proof bytes must match the Stockham path exactly."""
+    from delay_enc_tpu.cs import Builder, MainGate, RangeChip, Term
+    from delay_enc_tpu.plonk import SRS, create_proof, keygen, verify_proof
+
+    b = Builder(FR)
+    mg = MainGate(b)
+    rc = RangeChip(b)
+    x = mg.assign_value(7)
+    y = mg.assign_value(11)
+    s = mg.add(x, y)
+    m = mg.mul(x, y)
+    mg.compose([Term(x, 2), Term(y, 3), Term(s, 1), Term(m, 5)], constant=9)
+    rc.assign(45, 2, 6)
+    srs = SRS.setup(7, tau=987654321)
+    pk, vk = keygen(b, srs)
+    want = create_proof(srs, pk, b, np.random.default_rng(5))
+    monkeypatch.setenv("DELAY_ENC_NTT", "mxu")
+    got = create_proof(srs, pk, b, np.random.default_rng(5))
+    assert got == want
+    assert verify_proof(srs, vk, got)
