@@ -338,6 +338,13 @@ def _daemon_try(args, cfg, req: dict, result, metric_extra=None):
               f"(warm={st.get('warm')}, warming={st.get('warming')})",
               file=sys.stderr, flush=True)
         return None
+    if st.get("warming") and not st.get("serves_while_warming"):
+        # old single-thread daemon mid-warm: our job would queue behind a
+        # possibly multi-hour foreign warm — run inline instead (the relay
+        # serves multiple client processes concurrently, probe_device above)
+        print(f"# daemon busy warming {st.get('warming')} and cannot serve "
+              f"concurrently — falling back inline", file=sys.stderr, flush=True)
+        return None
     print(f"# daemon serving {key} (uptime {st.get('uptime_s')}s)",
           file=sys.stderr, flush=True)
     extra = dict(metric_extra or {})
@@ -774,20 +781,31 @@ def bench_auto(args):
     try:
         from delay_enc_tpu.runtime import daemon_request
 
-        daemon_live = bool((daemon_request({"cmd": "ping"}) or {}).get("warm"))
+        daemon_st = daemon_request({"cmd": "ping"}) or {}
     except Exception:
-        daemon_live = False
+        daemon_st = {}
+    daemon_live = bool(daemon_st.get("warm"))
     if daemon_live:
         print("# warm daemon detected — skipping device probe",
               file=sys.stderr, flush=True)
 
     res_pose = res_delay = None
     if daemon_live or probe_device(args):
-        # headline first, with the FULL remaining budget: even fully
+        # headline delay_enc gets the FULL remaining budget: even fully
         # compile-cached, a fresh process pays ~10-20 min loading the big
         # cached executables through the relay before the first proof
         # (round-4 finding; in-process repeats then run ~8 s each).
-        # pose_enc only gets whatever is left after delay_enc banks.
+        # EXCEPT when the daemon hasn't finished warming delay_enc yet
+        # (warm campaigns take hours through a cold relay): then bank the
+        # cheap pose_enc metric FIRST so a device-backed proof number is
+        # guaranteed even if the delay_enc warm never lands in-budget.
+        if "delay_enc:16" not in daemon_st.get("warm", []):
+            print("# delay_enc:16 not warm — banking pose_enc first",
+                  file=sys.stderr, flush=True)
+            res_pose = _run_stage(
+                "pose_enc", ["--workload", "pose_enc"],
+                min(deadline, time.time() + 600),
+            )
         res_delay = _run_stage(
             "delay_enc", ["--workload", "delay_enc"], deadline,
             repeats=args.repeats,
@@ -805,7 +823,7 @@ def bench_auto(args):
             res_batch = _run_stage(
                 "batch", ["--workload", "batch", "--batch", "4"], deadline,
             )
-        if deadline - time.time() > 400:
+        if res_pose is None and deadline - time.time() > 400:
             res_pose = _run_stage(
                 "pose_enc", ["--workload", "pose_enc"], deadline,
             )

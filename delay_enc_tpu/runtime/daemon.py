@@ -92,7 +92,12 @@ class Daemon:
             return {"ok": True, "warm": list(self.warm), "warming": self.warming,
                     "pending_warm": list(self.pending), "busy": self.busy,
                     "uptime_s": round(time.time() - self.t0, 1),
-                    "queued": self.jobs.qsize()}
+                    "queued": self.jobs.qsize(),
+                    # jobs for already-warm keys run on a dedicated thread,
+                    # so a multi-hour warm never starves them (clients check
+                    # this before queueing against an old single-thread
+                    # daemon, runtime/client.py)
+                    "serves_while_warming": True}
 
     def _serve_thread(self):
         srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
@@ -174,7 +179,10 @@ class Daemon:
     def _warm_one(self, e: WarmEntry) -> None:
         t0 = time.time()
         if e.workload == "stub":
-            e.warmup_s = 0.0
+            # protocol tests: optional simulated warm duration so the
+            # serve-while-warming path is testable without device work
+            time.sleep(float(os.environ.get("DELAY_ENC_STUB_WARM_S", 0)) if e.k else 0.0)
+            e.warmup_s = time.time() - t0
             _log(f"warm {e.key}: stub ready")
             return
         import numpy as np
@@ -350,15 +358,26 @@ class Daemon:
                 pass
 
     # ------------------------------------------------------------- main
-    def run(self):
-        threading.Thread(target=self._serve_thread, daemon=True).start()
+    def _job_thread(self):
+        """Serve prove/batch jobs for already-warm keys concurrently with
+        the warm campaign on the main thread.  JAX dispatch is thread-safe;
+        a warm key's executables are already loaded, so its proofs execute
+        while the warming key's fresh shapes compile through the relay —
+        without this, a multi-hour k=16 warm starved even the cheap warm
+        pose_enc request (round-4 finding: the driver banked nothing but
+        the host-only verify metric)."""
         while not self._stop:
             try:
                 conn, req = self.jobs.get(timeout=0.5)
-                self._run_job(conn, req)
-                continue
             except queue.Empty:
-                pass
+                continue
+            self._run_job(conn, req)
+
+    def run(self):
+        threading.Thread(target=self._serve_thread, daemon=True).start()
+        threading.Thread(target=self._job_thread, daemon=True).start()
+        while not self._stop:
+            time.sleep(0.5)
             with self.state_lock:
                 key = self.pending.pop(0) if self.pending else None
             if key is not None:

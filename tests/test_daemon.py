@@ -95,3 +95,42 @@ def test_setenv_flips_tuning_flags_only(stub_daemon):
     st = daemon_request({"cmd": "setenv", "env": {"DELAY_ENC_MSM": None}},
                         socket_path=stub_daemon)
     assert st["applied"] == {"DELAY_ENC_MSM": None}
+
+
+def test_serves_warm_key_while_warming(tmp_path):
+    """A prove for an already-warm key must NOT queue behind an in-flight
+    warm (the round-4 driver starvation: a multi-hour delay_enc:16 warm
+    blocked the cheap warm pose_enc request on the old single-thread loop).
+    stub:1 warms slowly (DELAY_ENC_STUB_WARM_S); stub:0 must serve during."""
+    sock = str(tmp_path / "d.sock")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", DELAY_ENC_STUB_WARM_S="25")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "delay_enc_tpu.runtime.daemon",
+         "--warm", "stub:0,stub:1", "--socket", sock],
+        env=env, stderr=subprocess.DEVNULL,
+    )
+    try:
+        deadline = time.time() + 90
+        st = None
+        while time.time() < deadline:
+            st = daemon_request({"cmd": "ping"}, socket_path=sock)
+            if st and "stub:0" in st.get("warm", []):
+                break
+            time.sleep(0.2)
+        assert st and "stub:0" in st.get("warm", [])
+        assert st.get("serves_while_warming") is True
+        # stub:1's slow warm is now in flight on the main thread
+        assert st.get("warming") == "stub:1" or "stub:1" in st.get("pending_warm", [])
+        t0 = time.time()
+        fin = daemon_request(
+            {"cmd": "prove", "workload": "stub", "k": 0, "repeats": 1,
+             "budget_s": 10}, timeout=15, socket_path=sock)
+        dt = time.time() - t0
+        assert fin and fin.get("event") == "done", f"prove failed: {fin}"
+        assert dt < 15, f"prove starved behind the warm ({dt:.1f}s)"
+    finally:
+        daemon_request({"cmd": "shutdown"}, socket_path=sock)
+        try:
+            proc.wait(10)
+        except subprocess.TimeoutExpired:
+            proc.kill()

@@ -111,3 +111,42 @@ def test_prover_mxu_gate_byte_identical(monkeypatch):
     got = create_proof(srs, pk, b, np.random.default_rng(5))
     assert got == want
     assert verify_proof(srs, vk, got)
+
+
+def test_redc_barrett_adversarial():
+    """Direct unit test of the band-matmul REDC + Barrett tail on adversarial
+    inputs: maximal V = n1*(p-1)^2, all-0xFF low bytes, multiples of p,
+    values straddling the q-estimate boundaries.  Expected: V*R^-1 mod p."""
+    import jax.numpy as jnp
+
+    p = FR.p
+    R = 1 << 256
+    plan = NX.make_plan(CTX, 4, N.NTTPlan.make(CTX, 4).omega)
+    n1_max = 1024
+    vals = [
+        0, 1, p - 1, p, p + 1, R - 1, R, R * p - 1,
+        n1_max * (p - 1) * (p - 1),          # true matmul-pass maximum
+        (1 << 518) - 1,                       # design bound
+        ((1 << 262) - 1) * R,                 # maximal Barrett X
+        (3 * p - 1) * R, (3 * p) * R,         # remainder < 3p edges
+        (p - 1) * R,                          # X = canonical boundary
+    ]
+    rng = np.random.default_rng(0)
+    vals += [int(rng.integers(0, 1 << 62)) ** 8 % (1 << 518)
+             for _ in range(32)]
+    # encode each V over 128 nibble columns: canonical low nibbles with a
+    # WIDE top column absorbing bits >= 508 (the kernel's real inputs are
+    # schoolbook columns up to ~2^24, so a 518-bit V occupies 128 columns
+    # with cols[127] < 2^14 — 128 fully-canonical nibbles hold only 512 bits)
+    cols = np.zeros((len(vals), 128), dtype=np.int32)
+    for r, v in enumerate(vals):
+        for c in range(127):
+            cols[r, c] = (v >> (4 * c)) & 0xF
+        cols[r, 127] = v >> (4 * 127)
+    assert cols.max() < (1 << 24)
+    got = np.asarray(NX._redc_barrett(CTX, plan.np_band, plan.p_band,
+                                      plan.p_limbs17, plan.mu,
+                                      jnp.asarray(cols)))
+    want = [(v * pow(R, -1, p)) % p for v in vals]
+    got_ints = L.limbs_to_ints_np(got)
+    assert got_ints == want
