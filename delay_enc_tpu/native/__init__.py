@@ -25,7 +25,7 @@ def _build(src: str, so: str) -> bool:
     # compile to a temp path, then atomically rename: overwriting the .so
     # in place would remap pages under any live process that has it
     # dlopen'd (SIGBUS hazard for a concurrently-running bench)
-    for flags in (["-O3", "-march=native"], ["-O3"]):
+    for flags in (["-O3", "-march=native", "-pthread"], ["-O3", "-pthread"]):
         try:
             subprocess.run(
                 ["cc", *flags, "-shared", "-fPIC", "-o", so + ".tmp", src],
@@ -128,6 +128,23 @@ def get_eclib():
         ctypes.c_void_p,
     ]
     lib.fq_sqrt.restype = ctypes.c_int
+    # threaded verifier entry points (identical results to the
+    # single-thread forms; nthreads trails each original signature)
+    lib.g1_msm_pre_mt.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
+        ctypes.c_int, ctypes.c_void_p,
+    ]
+    lib.g1_msm_pre_mt.restype = ctypes.c_int
+    lib.pairing_check_prepared_mt.argtypes = [
+        *lib.pairing_check_prepared.argtypes, ctypes.c_int,
+    ]
+    lib.pairing_check_prepared_mt.restype = ctypes.c_int
+    lib.g1_decompress_batch_mt.argtypes = [
+        *lib.g1_decompress_batch.argtypes, ctypes.c_int,
+    ]
+    lib.g1_decompress_batch_mt.restype = ctypes.c_int
     lib.fr_from_uniform_mont.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,

@@ -6,6 +6,8 @@ available and fall back to their pure-Python paths otherwise.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..fields.bn254 import FQ
@@ -58,6 +60,20 @@ PRE_WINDOW = 7   # wNAF window for precomputed (per-vk fixed) points
 VAR_WINDOW = 5   # wNAF window for per-proof points
 
 
+def verify_threads() -> int:
+    """Thread count for the host-verifier C kernels.  A single verify is
+    latency-bound on the multiopen MSM and the pairing check, both
+    embarrassingly parallel inside; DELAY_ENC_VERIFY_THREADS overrides
+    (1 disables threading), default min(4, cpu count)."""
+    try:
+        v = int(os.environ.get("DELAY_ENC_VERIFY_THREADS", ""))
+        if v >= 1:
+            return min(v, 8)
+    except ValueError:
+        pass
+    return min(4, os.cpu_count() or 1)
+
+
 def msm_precompute(points, w: int = PRE_WINDOW):
     """Montgomery-form odd-multiple tables {1,3,...,2^(w-1)-1}P for a
     FIXED point set (the verifier builds these once per verifying key).
@@ -105,10 +121,24 @@ def msm_host(scalars, points, order: int, pretab: bytes | None = None,
         scs[32 * i : 32 * i + 32] = s.to_bytes(32, "little")
     out = np.empty(64, dtype=np.uint8)
     pw, r2w, n0 = _consts()
+    mt = getattr(lib, "g1_msm_pre_mt", None)
     if pretab is not None and npre:
-        rc = lib.g1_msm_pre(
-            bytes(pts), bytes(scs), n, npre, pretab, wpre, VAR_WINDOW,
-            pw.ctypes.data, r2w.ctypes.data, n0, out.ctypes.data,
+        if mt is not None:
+            rc = mt(
+                bytes(pts), bytes(scs), n, npre, pretab, wpre, VAR_WINDOW,
+                pw.ctypes.data, r2w.ctypes.data, n0, verify_threads(),
+                out.ctypes.data,
+            )
+        else:
+            rc = lib.g1_msm_pre(
+                bytes(pts), bytes(scs), n, npre, pretab, wpre, VAR_WINDOW,
+                pw.ctypes.data, r2w.ctypes.data, n0, out.ctypes.data,
+            )
+    elif mt is not None:
+        rc = mt(
+            bytes(pts), bytes(scs), n, 0, None, PRE_WINDOW, VAR_WINDOW,
+            pw.ctypes.data, r2w.ctypes.data, n0, verify_threads(),
+            out.ctypes.data,
         )
     else:
         rc = lib.g1_msm(

@@ -22,6 +22,7 @@
  * ctypes with silent pure-Python fallback.
  */
 
+#include <pthread.h>
 #include <stdint.h>
 #include <stddef.h>
 #include <stdlib.h>
@@ -1064,6 +1065,100 @@ static void fq12_cyc_pow(const fctx *c, const fq12 *a, const uint8_t *bits,
     *o = r;
 }
 
+/* One Miller pass over prepared line coefficients for a block of pairs;
+ * writes the block's Miller value to *f.  Extracted from
+ * pairing_check_prepared so the MT variant can run disjoint pair blocks
+ * on separate threads: the Miller product is multiplicative across
+ * pairs, and each block pays its own squaring chain, which is exactly
+ * what makes the blocks independent. */
+static void miller_prepared_loop(const fctx *c, const u256 *xp,
+                                 const u256 *yp, const int *live,
+                                 size_t npairs, const uint8_t *coeffs,
+                                 size_t nsteps, const uint8_t *ate_bits,
+                                 size_t nate, fq12 *f) {
+    /* coefficient stream: canonical -> Montgomery on the fly */
+    #define LOAD_STEP(i, step, lam, c4v) do { \
+        const uint8_t *q = coeffs + ((i) * nsteps + (step)) * 128; \
+        memcpy((lam).c0.w, q, 32); memcpy((lam).c1.w, q + 32, 32); \
+        memcpy((c4v).c0.w, q + 64, 32); memcpy((c4v).c1.w, q + 96, 32); \
+        fe_mul(c, &(lam).c0, &c->r2, &(lam).c0); \
+        fe_mul(c, &(lam).c1, &c->r2, &(lam).c1); \
+        fe_mul(c, &(c4v).c0, &c->r2, &(c4v).c0); \
+        fe_mul(c, &(c4v).c1, &c->r2, &(c4v).c1); \
+    } while (0)
+    #define MUL_LINE(i) do { \
+        fq2 lam, c4v, s0, s3; \
+        LOAD_STEP(i, idx, lam, c4v); \
+        s0.c0 = yp[i]; s0.c1 = zero256; \
+        fq2 lx; \
+        fe_mul(c, &lam.c0, &xp[i], &lx.c0); \
+        fe_mul(c, &lam.c1, &xp[i], &lx.c1); \
+        fq2_neg(c, &lx, &s3); \
+        fq12_mul034(c, f, &s0, &s3, &c4v); \
+    } while (0)
+
+    fq12_one(c, f);
+    size_t idx = 0;
+    u256 zero256; memset(&zero256, 0, sizeof(zero256));
+    for (size_t b = 0; b < nate; b++) {
+        fq12_sq(c, f, f);
+        for (size_t i = 0; i < npairs; i++) {
+            if (!live[i]) continue;
+            MUL_LINE(i);
+        }
+        idx++;
+        if (ate_bits[b]) {
+            for (size_t i = 0; i < npairs; i++) {
+                if (!live[i]) continue;
+                MUL_LINE(i);
+            }
+            idx++;
+        }
+    }
+    for (int extra = 0; extra < 2; extra++) {
+        for (size_t i = 0; i < npairs; i++) {
+            if (!live[i]) continue;
+            MUL_LINE(i);
+        }
+        idx++;
+    }
+    (void)nsteps;
+    #undef MUL_LINE
+    #undef LOAD_STEP
+}
+
+/* load the G1 sides (canonical -> Montgomery) and the frobenius tables */
+static void pairing_load(const fctx *c, const uint8_t *points, size_t npairs,
+                         const uint8_t *frob, u256 *xp, u256 *yp, int *live,
+                         frob_tabs *ft) {
+    for (size_t i = 0; i < npairs; i++) {
+        u256 x, y;
+        memcpy(x.w, points + 64 * i, 32);
+        memcpy(y.w, points + 64 * i + 32, 32);
+        live[i] = !(fe_is_zero(&x) && fe_is_zero(&y));
+        fe_mul(c, &x, &c->r2, &xp[i]);
+        fe_mul(c, &y, &c->r2, &yp[i]);
+    }
+    memset(ft, 0, sizeof(*ft));
+    const uint8_t *fp_ = frob;
+    for (int grp = 0; grp < 3; grp++) {
+        for (int pw = 1; pw <= 3; pw++) {
+            fq2 v;
+            memcpy(v.c0.w, fp_, 32);
+            memcpy(v.c1.w, fp_ + 32, 32);
+            fp_ += 64;
+            fe_mul(c, &v.c0, &c->r2, &v.c0);
+            fe_mul(c, &v.c1, &c->r2, &v.c1);
+            if (grp == 0) ft->c1_6[pw] = v;
+            else if (grp == 1) ft->c2_6[pw] = v;
+            else ft->c1_12[pw] = v;
+        }
+    }
+}
+
+static int final_exp_is_one(const fctx *cx, const frob_tabs *ftp,
+                            const uint8_t *u_bits, size_t nu, const fq12 *fin);
+
 /* multi-Miller loop over prepared lines + final exponentiation.
  * pairs: np G1 affine points (canonical LE x||y, 64B each).
  * coeffs: np * nsteps fq2 PAIRS (lam, c4) canonical LE (128B per step).
@@ -1081,95 +1176,22 @@ int pairing_check_prepared(const uint8_t *points, size_t npairs,
     if (npairs > 16) return -1;
     fctx c;
     fctx_init(&c, p_words, r2_words, n0inv);
-
-    /* load + Montgomery-ize */
     u256 xp[16], yp[16];
     int live[16];
-    for (size_t i = 0; i < npairs; i++) {
-        u256 x, y;
-        memcpy(x.w, points + 64 * i, 32);
-        memcpy(y.w, points + 64 * i + 32, 32);
-        live[i] = !(fe_is_zero(&x) && fe_is_zero(&y));
-        fe_mul(&c, &x, &c.r2, &xp[i]);
-        fe_mul(&c, &y, &c.r2, &yp[i]);
-    }
     frob_tabs ft;
-    memset(&ft, 0, sizeof(ft));
-    const uint8_t *fp_ = frob;
-    for (int grp = 0; grp < 3; grp++) {
-        for (int pw = 1; pw <= 3; pw++) {
-            fq2 v;
-            memcpy(v.c0.w, fp_, 32);
-            memcpy(v.c1.w, fp_ + 32, 32);
-            fp_ += 64;
-            fe_mul(&c, &v.c0, &c.r2, &v.c0);
-            fe_mul(&c, &v.c1, &c.r2, &v.c1);
-            if (grp == 0) ft.c1_6[pw] = v;
-            else if (grp == 1) ft.c2_6[pw] = v;
-            else ft.c1_12[pw] = v;
-        }
-    }
-
-    /* coefficient stream: canonical -> Montgomery on the fly */
-    #define LOAD_STEP(i, step, lam, c4v) do { \
-        const uint8_t *q = coeffs + ((i) * nsteps + (step)) * 128; \
-        memcpy((lam).c0.w, q, 32); memcpy((lam).c1.w, q + 32, 32); \
-        memcpy((c4v).c0.w, q + 64, 32); memcpy((c4v).c1.w, q + 96, 32); \
-        fe_mul(&c, &(lam).c0, &c.r2, &(lam).c0); \
-        fe_mul(&c, &(lam).c1, &c.r2, &(lam).c1); \
-        fe_mul(&c, &(c4v).c0, &c.r2, &(c4v).c0); \
-        fe_mul(&c, &(c4v).c1, &c.r2, &(c4v).c1); \
-    } while (0)
-
+    pairing_load(&c, points, npairs, frob, xp, yp, live, &ft);
     fq12 f;
-    fq12_one(&c, &f);
-    size_t idx = 0;
-    u256 zero256; memset(&zero256, 0, sizeof(zero256));
-    for (size_t b = 0; b < nate; b++) {
-        fq12_sq(&c, &f, &f);
-        for (size_t i = 0; i < npairs; i++) {
-            if (!live[i]) continue;
-            fq2 lam, c4v, s0, s3;
-            LOAD_STEP(i, idx, lam, c4v);
-            s0.c0 = yp[i]; s0.c1 = zero256;
-            fq2 lx;
-            fe_mul(&c, &lam.c0, &xp[i], &lx.c0);
-            fe_mul(&c, &lam.c1, &xp[i], &lx.c1);
-            fq2_neg(&c, &lx, &s3);
-            fq12_mul034(&c, &f, &s0, &s3, &c4v);
-        }
-        idx++;
-        if (ate_bits[b]) {
-            for (size_t i = 0; i < npairs; i++) {
-                if (!live[i]) continue;
-                fq2 lam, c4v, s0, s3;
-                LOAD_STEP(i, idx, lam, c4v);
-                s0.c0 = yp[i]; s0.c1 = zero256;
-                fq2 lx;
-                fe_mul(&c, &lam.c0, &xp[i], &lx.c0);
-                fe_mul(&c, &lam.c1, &xp[i], &lx.c1);
-                fq2_neg(&c, &lx, &s3);
-                fq12_mul034(&c, &f, &s0, &s3, &c4v);
-            }
-            idx++;
-        }
-    }
-    for (int extra = 0; extra < 2; extra++) {
-        for (size_t i = 0; i < npairs; i++) {
-            if (!live[i]) continue;
-            fq2 lam, c4v, s0, s3;
-            LOAD_STEP(i, idx, lam, c4v);
-            s0.c0 = yp[i]; s0.c1 = zero256;
-            fq2 lx;
-            fe_mul(&c, &lam.c0, &xp[i], &lx.c0);
-            fe_mul(&c, &lam.c1, &xp[i], &lx.c1);
-            fq2_neg(&c, &lx, &s3);
-            fq12_mul034(&c, &f, &s0, &s3, &c4v);
-        }
-        idx++;
-    }
-    (void)nsteps;
+    miller_prepared_loop(&c, xp, yp, live, npairs, coeffs, nsteps,
+                         ate_bits, nate, &f);
+    return final_exp_is_one(&c, &ft, u_bits, nu, &f);
+}
 
+static int final_exp_is_one(const fctx *cx, const frob_tabs *ftp,
+                            const uint8_t *u_bits, size_t nu,
+                            const fq12 *fin) {
+    const fctx c = *cx;
+    const frob_tabs ft = *ftp;
+    fq12 f = *fin;
     /* final exponentiation: easy part */
     fq12 finv, r;
     fq12_inv(&c, &f, &finv);
@@ -1207,6 +1229,241 @@ int pairing_check_prepared(const uint8_t *points, size_t npairs,
     fq12_frob(&c, &ft, 3, &y15, &y15);
     fq12_mul(&c, &y15, &y14, &y15);
     return fq12_is_one(&c, &y15);
+}
+
+/* ------------------------------------------------------------------ */
+/* threaded verifier entry points.  One verify is latency-bound on two
+ * native calls (multiopen MSM ~1.5 ms, pairing ~1.7 ms single-thread);
+ * the work inside each is embarrassingly parallel across points/pairs,
+ * and a verify runs alone on the host, so a handful of pthreads turns
+ * the reference's verifying-time row from a loss into a win. */
+
+typedef struct {
+    const fctx *c;
+    const u256 *xp, *yp;
+    const int *live;
+    const uint8_t *coeffs;
+    size_t nsteps;
+    const uint8_t *ate_bits;
+    size_t nate;
+    fq12 f;
+} miller_task;
+
+static void *miller_worker(void *arg) {
+    miller_task *t = (miller_task *)arg;
+    miller_prepared_loop(t->c, t->xp, t->yp, t->live, 1, t->coeffs,
+                         t->nsteps, t->ate_bits, t->nate, &t->f);
+    return NULL;
+}
+
+/* pairing_check_prepared with one thread per pair's Miller loop (each
+ * block repeats the shared squaring chain, but the blocks run in
+ * parallel — a net win for the 2-pair KZG check).  Identical result. */
+int pairing_check_prepared_mt(const uint8_t *points, size_t npairs,
+                              const uint8_t *coeffs, size_t nsteps,
+                              const uint8_t *ate_bits, size_t nate,
+                              const uint8_t *u_bits, size_t nu,
+                              const uint8_t *frob,
+                              const uint64_t *p_words,
+                              const uint64_t *r2_words, uint64_t n0inv,
+                              int nthreads) {
+    if (npairs > 16) return -1;
+    if (nthreads <= 1 || npairs < 2)
+        return pairing_check_prepared(points, npairs, coeffs, nsteps,
+                                      ate_bits, nate, u_bits, nu, frob,
+                                      p_words, r2_words, n0inv);
+    fctx c;
+    fctx_init(&c, p_words, r2_words, n0inv);
+    u256 xp[16], yp[16];
+    int live[16];
+    frob_tabs ft;
+    pairing_load(&c, points, npairs, frob, xp, yp, live, &ft);
+
+    static const int one_live = 1;
+    miller_task tasks[16];
+    pthread_t th[16];
+    int spawned[16];
+    size_t nlive = 0;
+    for (size_t i = 0; i < npairs; i++) {
+        if (!live[i]) continue;
+        miller_task *t = &tasks[nlive];
+        t->c = &c; t->xp = &xp[i]; t->yp = &yp[i]; t->live = &one_live;
+        t->coeffs = coeffs + i * nsteps * 128;
+        t->nsteps = nsteps; t->ate_bits = ate_bits; t->nate = nate;
+        nlive++;
+    }
+    fq12 f;
+    if (nlive == 0) {
+        fq12_one(&c, &f);
+        return final_exp_is_one(&c, &ft, u_bits, nu, &f);
+    }
+    /* last live block runs on the calling thread */
+    for (size_t k = 0; k + 1 < nlive; k++) {
+        spawned[k] = pthread_create(&th[k], NULL, miller_worker,
+                                    &tasks[k]) == 0;
+        if (!spawned[k]) miller_worker(&tasks[k]);
+    }
+    miller_worker(&tasks[nlive - 1]);
+    f = tasks[nlive - 1].f;
+    for (size_t k = 0; k + 1 < nlive; k++) {
+        if (spawned[k]) pthread_join(th[k], NULL);
+        fq12_mul(&c, &f, &tasks[k].f, &f);
+    }
+    return final_exp_is_one(&c, &ft, u_bits, nu, &f);
+}
+
+typedef struct {
+    const uint8_t *points, *scalars;
+    size_t n, npre;
+    const uint8_t *pretab;
+    int wpre, wvar;
+    const uint64_t *p_words, *r2_words;
+    uint64_t n0inv;
+    uint8_t out[64];
+    int rc;
+} msm_task;
+
+static void *msm_worker(void *arg) {
+    msm_task *t = (msm_task *)arg;
+    t->rc = g1_msm_pre(t->points, t->scalars, t->n, t->npre, t->pretab,
+                       t->wpre, t->wvar, t->p_words, t->r2_words, t->n0inv,
+                       t->out);
+    return NULL;
+}
+
+/* g1_msm_pre over point-range slices on nthreads threads.  Each slice
+ * pays its own shared-doubling chain and batch inversion, so the split
+ * only wins when the per-point add work dominates — true from a few
+ * dozen points up (the verifier's multiopen MSM).  Identical result. */
+int g1_msm_pre_mt(const uint8_t *points, const uint8_t *scalars, size_t n,
+                  size_t npre, const uint8_t *pretab, int wpre, int wvar,
+                  const uint64_t *p_words, const uint64_t *r2_words,
+                  uint64_t n0inv, int nthreads, uint8_t *out) {
+    if (nthreads > 8) nthreads = 8;
+    if (nthreads <= 1 || n < 16)
+        return g1_msm_pre(points, scalars, n, npre, pretab, wpre, wvar,
+                          p_words, r2_words, n0inv, out);
+    if (n > 8192 || npre > n || wpre < 2 || wpre > 8) return -1;
+    /* weighted split: a precomputed-table point costs ~2 units (wNAF
+     * adds only), a variable point ~3 (table build + normalize + adds) */
+    size_t total = 2 * npre + 3 * (n - npre);
+    size_t per = (total + (size_t)nthreads - 1) / (size_t)nthreads;
+    msm_task tasks[8];
+    pthread_t th[8];
+    int spawned[8];
+    int nt = 0;
+    size_t lo = 0;
+    const size_t tszp = (size_t)1 << (wpre - 2);
+    while (lo < n && nt < nthreads) {
+        size_t hi = lo, acc = 0;
+        while (hi < n && (acc < per || hi == lo)) {
+            acc += hi < npre ? 2 : 3;
+            hi++;
+        }
+        if (nt == nthreads - 1) hi = n;
+        msm_task *t = &tasks[nt];
+        t->points = points + 64 * lo;
+        t->scalars = scalars + 32 * lo;
+        t->n = hi - lo;
+        t->npre = lo < npre ? (npre < hi ? npre : hi) - lo : 0;
+        t->pretab = lo < npre ? pretab + lo * tszp * 64 : pretab;
+        t->wpre = wpre; t->wvar = wvar;
+        t->p_words = p_words; t->r2_words = r2_words; t->n0inv = n0inv;
+        t->rc = -2;
+        nt++;
+        lo = hi;
+    }
+    for (int k = 1; k < nt; k++) {
+        spawned[k] = pthread_create(&th[k], NULL, msm_worker,
+                                    &tasks[k]) == 0;
+        if (!spawned[k]) msm_worker(&tasks[k]);
+    }
+    msm_worker(&tasks[0]);
+    for (int k = 1; k < nt; k++)
+        if (spawned[k]) pthread_join(th[k], NULL);
+    fctx c;
+    fctx_init(&c, p_words, r2_words, n0inv);
+    pjac acc2;
+    acc2.inf = 1;
+    for (int k = 0; k < nt; k++) {
+        if (tasks[k].rc < 0) return -1;
+        if (tasks[k].rc == 0) continue;  /* identity partial */
+        u256 x, y;
+        memcpy(x.w, tasks[k].out, 32);
+        memcpy(y.w, tasks[k].out + 32, 32);
+        fe_mul(&c, &x, &c.r2, &x);
+        fe_mul(&c, &y, &c.r2, &y);
+        pj_add_affine(&c, &acc2, &x, &y);
+    }
+    memset(out, 0, 64);
+    if (acc2.inf) return 0;
+    u256 zi, zi2, xa, ya, lit_one = {{1, 0, 0, 0}};
+    fe_inv(&c, &acc2.z, &zi);
+    fe_mul(&c, &zi, &zi, &zi2);
+    fe_mul(&c, &acc2.x, &zi2, &xa);
+    fe_mul(&c, &acc2.y, &zi2, &ya);
+    fe_mul(&c, &ya, &zi, &ya);
+    fe_mul(&c, &xa, &lit_one, &xa);
+    fe_mul(&c, &ya, &lit_one, &ya);
+    memcpy(out, xa.w, 32);
+    memcpy(out + 32, ya.w, 32);
+    return 1;
+}
+
+typedef struct {
+    const uint8_t *in;
+    size_t n;
+    const uint8_t *b_bytes;
+    const uint64_t *p_words, *r2_words;
+    uint64_t n0inv;
+    uint8_t *out, *flags;
+    int rc;
+} dec_task;
+
+static void *dec_worker(void *arg) {
+    dec_task *t = (dec_task *)arg;
+    t->rc = g1_decompress_batch(t->in, t->n, t->b_bytes, t->p_words,
+                                t->r2_words, t->n0inv, t->out, t->flags);
+    return NULL;
+}
+
+/* g1_decompress_batch sliced across threads (each point's sqrt is
+ * independent; out/flags slices are disjoint).  Identical result. */
+int g1_decompress_batch_mt(const uint8_t *in, size_t n,
+                           const uint8_t *b_bytes, const uint64_t *p_words,
+                           const uint64_t *r2_words, uint64_t n0inv,
+                           uint8_t *out, uint8_t *flags, int nthreads) {
+    if (nthreads > 8) nthreads = 8;
+    if (nthreads <= 1 || n < 8)
+        return g1_decompress_batch(in, n, b_bytes, p_words, r2_words,
+                                   n0inv, out, flags);
+    dec_task tasks[8];
+    pthread_t th[8];
+    int spawned[8];
+    int nt = 0;
+    size_t per = (n + (size_t)nthreads - 1) / (size_t)nthreads;
+    size_t lo = 0;
+    while (lo < n && nt < nthreads) {
+        size_t hi = lo + per < n ? lo + per : n;
+        if (nt == nthreads - 1) hi = n;
+        dec_task *t = &tasks[nt];
+        t->in = in + 32 * lo; t->n = hi - lo; t->b_bytes = b_bytes;
+        t->p_words = p_words; t->r2_words = r2_words; t->n0inv = n0inv;
+        t->out = out + 64 * lo; t->flags = flags + lo; t->rc = -2;
+        nt++;
+        lo = hi;
+    }
+    for (int k = 1; k < nt; k++) {
+        spawned[k] = pthread_create(&th[k], NULL, dec_worker,
+                                    &tasks[k]) == 0;
+        if (!spawned[k]) dec_worker(&tasks[k]);
+    }
+    dec_worker(&tasks[0]);
+    for (int k = 1; k < nt; k++)
+        if (spawned[k]) pthread_join(th[k], NULL);
+    for (int k = 0; k < nt; k++)
+        if (tasks[k].rc < 0) return -1;
+    return 0;
 }
 
 /* ------------------------------------------------------------------ */
