@@ -29,6 +29,10 @@ the warmup proof was un-interruptible inside one process; never again):
     line a child produces and a final best line before exiting 0 — the
     consumer parsing the last JSON line always gets the best number so
     far, no matter where an external timeout lands;
+  * the strongest banked metric is RE-EMITTED on a <=25 s heartbeat from
+    every wait/poll loop (round 4 died waiting on a daemon warm with the
+    metric stranded 20 min up the scroll-back — the driver parses only
+    the output tail), and handed to child stages via BENCH_BEST_JSON;
   * a wall-clock budget (--budget / BENCH_BUDGET_S, default 2100 s) gates
     every phase including the warmup proof (via the subprocess deadline);
   * the PJRT compile relay is probed with a tiny subprocess jit (with
@@ -54,10 +58,66 @@ def _left(args) -> float:
     return args.budget - (time.time() - START_TIME)
 
 
+# ---- un-killable metric delivery (rounds 2/3/4 all died inside a wait
+# loop with the banked metric stranded minutes up the scroll-back; the
+# driver parses only the TAIL of the output) ----------------------------
+# The strongest metric emitted so far is re-emitted on a <=25 s heartbeat
+# from inside EVERY wait/poll loop, and handed to child stages via
+# BENCH_BEST_JSON so even a child stuck waiting on a daemon warm keeps a
+# parseable metric as the last stdout line no matter where an external
+# kill lands.
+
+_BEST: dict | None = None
+_BEST_RANK = -1
+_LAST_EMIT = 0.0
+HEARTBEAT_S = 25.0
+
+
+def _rank(metric: str) -> int:
+    """Priority of a metric line for heartbeat purposes: never let a weaker
+    stage's line displace the banked headline."""
+    for pre, r in (("delay_enc_k16_prove", 5), ("delay_enc", 4), ("batch", 4),
+                   ("mod_pow", 3), ("pose_enc", 2)):
+        if metric.startswith(pre):
+            return r
+    return 1  # verify / msm / ntt
+
+
 def _emit(out: dict) -> None:
     """Print the metric line NOW (stdout, flushed).  May be called several
-    times with progressively better numbers; consumers take the last line."""
+    times with progressively better numbers; consumers take the last line.
+    Lines with a non-null value are banked for heartbeat re-emission."""
+    global _BEST, _BEST_RANK, _LAST_EMIT
     print(json.dumps(out), flush=True)
+    _LAST_EMIT = time.time()
+    if out.get("value") is not None and out.get("metric"):
+        r = _rank(out["metric"])
+        if r >= _BEST_RANK or out["metric"] == (_BEST or {}).get("metric"):
+            _BEST = {k: v for k, v in out.items() if k != "heartbeat"}
+            _BEST_RANK = max(r, _BEST_RANK)
+
+
+def heartbeat() -> None:
+    """Re-emit the strongest banked metric if stdout has been quiet for a
+    heartbeat period.  Call from inside every wait/poll/sleep loop."""
+    if _BEST is not None and time.time() - _LAST_EMIT >= HEARTBEAT_S:
+        _emit(dict(_BEST, heartbeat=True))
+
+
+def _seed_best_from_env() -> None:
+    """Child stages inherit the parent's best banked metric so their wait
+    loops re-emit something real from second zero."""
+    raw = os.environ.get("BENCH_BEST_JSON")
+    if not raw:
+        return
+    try:
+        d = json.loads(raw)
+    except json.JSONDecodeError:
+        return
+    if isinstance(d, dict) and d.get("value") is not None and d.get("metric"):
+        global _BEST, _BEST_RANK
+        _BEST = {k: v for k, v in d.items() if k != "heartbeat"}
+        _BEST_RANK = _rank(d["metric"])
 
 
 def probe_device(args) -> bool:
@@ -89,6 +149,7 @@ def probe_device(args) -> bool:
         except subprocess.TimeoutExpired:
             print(f"# device probe attempt {attempt} timed out "
                   f"(relay down/cold?)", file=sys.stderr, flush=True)
+        heartbeat()
         if _left(args) > 360:
             time.sleep(60)
     return False
@@ -329,6 +390,7 @@ def _daemon_try(args, cfg, req: dict, result, metric_extra=None):
            and _left(args) > 120):
         print(f"# daemon warming {key} — waiting ({_left(args):.0f}s left)",
               file=sys.stderr, flush=True)
+        heartbeat()
         time.sleep(30)
         st = daemon_request({"cmd": "ping"})
         if not st or not st.get("ok"):
@@ -444,6 +506,24 @@ def bench_prove(args, cfg):
                            "repeats": max(args.repeats, 2)}, result)
         if res is not None:
             return res
+        # daemon path failed (timeout/contention).  If a warm campaign is
+        # in flight, the inline fallback is strictly WORSE: it pays 20-40
+        # min of executable loads through the SAME contended relay the
+        # warm needs (round-5 drive: a warm pose_enc prove stalled >5 min
+        # under a k=16 warmup-compile).  Bail with a null metric — the
+        # heartbeat keeps re-emitting the strongest banked line.
+        try:
+            from delay_enc_tpu.runtime import daemon_request
+
+            st = daemon_request({"cmd": "ping"}) or {}
+        except Exception:
+            st = {}
+        if st.get("ok") and st.get("warming"):
+            print(f"# daemon mid-warm ({st.get('warming')}) — skipping the "
+                  f"inline cold start (relay contention)",
+                  file=sys.stderr, flush=True)
+            return result(0.0) | {"value": None, "vs_baseline": None,
+                                  "skipped": "daemon mid-warm"}
 
     t0 = time.time()
     srs = SRS.setup(k, cache_dir=cfg.prover.srs_cache_dir)
@@ -707,6 +787,8 @@ def _run_stage(tag, extra_args, deadline, env_extra=None, repeats=None):
     if repeats is not None:
         cmd += ["--repeats", str(repeats)]
     env = dict(os.environ)
+    if _BEST is not None:
+        env["BENCH_BEST_JSON"] = json.dumps(_BEST)
     if env_extra:
         env.update(env_extra)
     print(f"# stage {tag}: start ({remain:.0f}s allotted)",
@@ -730,6 +812,7 @@ def _run_stage(tag, extra_args, deadline, env_extra=None, repeats=None):
         try:
             line = lines.get(timeout=min(t, 5.0))
         except queue.Empty:
+            heartbeat()  # child silent (compiling/waiting) — keep the tail hot
             continue
         if line is None:
             break
@@ -743,7 +826,8 @@ def _run_stage(tag, extra_args, deadline, env_extra=None, repeats=None):
         if d.get("value") is not None:
             d["stage"] = tag
             _emit(d)
-            best = d
+            if not d.get("heartbeat"):  # a child heartbeat re-emitting the
+                best = d                # seeded best is not THIS stage's result
     if proc.poll() is None:
         print(f"# stage {tag}: deadline reached — killing child",
               file=sys.stderr, flush=True)
@@ -812,7 +896,7 @@ def bench_auto(args):
         )
         # batch throughput: only when the warm daemon serves it (a cold
         # batched-kernel compile would eat the whole remaining budget)
-        res_batch = None
+        res_batch = res_modpow = None
         try:
             from delay_enc_tpu.runtime import daemon_request
 
@@ -823,22 +907,33 @@ def bench_auto(args):
             res_batch = _run_stage(
                 "batch", ["--workload", "batch", "--batch", "4"], deadline,
             )
+        # mod_pow (reference row k=17, 6.2824 s): only when the daemon
+        # already holds it warm — a cold start would eat the headline budget
+        for mp_key in ("mod_pow:17", "mod_pow:16"):
+            if mp_key in st.get("warm", []) and deadline - time.time() > 240:
+                res_modpow = _run_stage(
+                    "mod_pow",
+                    ["--workload", "mod_pow", "--k", mp_key.split(":")[1]],
+                    deadline,
+                )
+                break
         if res_pose is None and deadline - time.time() > 400:
             res_pose = _run_stage(
                 "pose_enc", ["--workload", "pose_enc"], deadline,
             )
     else:
-        res_batch = None
+        res_batch = res_modpow = None
         print("# device unavailable — emitting host-only result",
               file=sys.stderr, flush=True)
 
-    final = dict(res_delay or res_batch or res_pose or res_verify
+    final = dict(res_delay or res_batch or res_modpow or res_pose or res_verify
                  or {**placeholder, "status": "no-measurement"})
     final["banked"] = {
         tag: {"metric": r["metric"], "value": r["value"],
               "vs_baseline": r.get("vs_baseline")}
         for tag, r in (("verify", res_verify), ("pose_enc", res_pose),
-                       ("batch", res_batch), ("delay_enc", res_delay)) if r
+                       ("batch", res_batch), ("mod_pow", res_modpow),
+                       ("delay_enc", res_delay)) if r
     }
     return final
 
@@ -894,9 +989,12 @@ def main():
     ap.add_argument("--config", type=str, default=None,
                     help="JSON config file (delay_enc_tpu.utils.config.Config)")
     ap.add_argument("--budget", type=float,
-                    default=float(os.environ.get("BENCH_BUDGET_S", 2100)),
+                    default=float(os.environ.get("BENCH_BUDGET_S", 1750)),
                     help="wall-clock budget in seconds; optional phases are "
-                         "skipped so a metric line is always emitted in time")
+                         "skipped so a metric line is always emitted in time. "
+                         "Default calibrated from the round-4 driver kill: "
+                         "the external window closed while 239 s of a 2100 s "
+                         "budget remained, so assume <=1860 s and keep margin")
     ap.add_argument("--no-probe", action="store_true",
                     help="skip the device probe (the parent auto-stage "
                          "already probed)")
@@ -908,6 +1006,7 @@ def main():
     if args.write_cache_manifest:
         check_cache_manifest(write=True)
         return
+    _seed_best_from_env()
     check_cache_manifest()
 
     # honor JAX_PLATFORMS even when a sitecustomize forces a plugin platform

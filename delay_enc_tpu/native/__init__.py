@@ -129,22 +129,28 @@ def get_eclib():
     ]
     lib.fq_sqrt.restype = ctypes.c_int
     # threaded verifier entry points (identical results to the
-    # single-thread forms; nthreads trails each original signature)
-    lib.g1_msm_pre_mt.argtypes = [
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
-        ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
-        ctypes.c_int, ctypes.c_void_p,
-    ]
-    lib.g1_msm_pre_mt.restype = ctypes.c_int
-    lib.pairing_check_prepared_mt.argtypes = [
-        *lib.pairing_check_prepared.argtypes, ctypes.c_int,
-    ]
-    lib.pairing_check_prepared_mt.restype = ctypes.c_int
-    lib.g1_decompress_batch_mt.argtypes = [
-        *lib.g1_decompress_batch.argtypes, ctypes.c_int,
-    ]
-    lib.g1_decompress_batch_mt.restype = ctypes.c_int
+    # single-thread forms; nthreads trails each original signature).  A
+    # stale _ecops.so may predate these symbols — load without them (the
+    # ec.py wrappers getattr-guard every MT call) rather than failing the
+    # whole library.
+    try:
+        lib.g1_msm_pre_mt.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
+            ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib.g1_msm_pre_mt.restype = ctypes.c_int
+        lib.pairing_check_prepared_mt.argtypes = [
+            *lib.pairing_check_prepared.argtypes, ctypes.c_int,
+        ]
+        lib.pairing_check_prepared_mt.restype = ctypes.c_int
+        lib.g1_decompress_batch_mt.argtypes = [
+            *lib.g1_decompress_batch.argtypes, ctypes.c_int,
+        ]
+        lib.g1_decompress_batch_mt.restype = ctypes.c_int
+    except AttributeError:
+        pass
     lib.fr_from_uniform_mont.argtypes = [
         ctypes.c_void_p, ctypes.c_size_t,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,

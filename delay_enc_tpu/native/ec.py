@@ -67,10 +67,10 @@ def verify_threads() -> int:
     (1 disables threading), default min(4, cpu count)."""
     try:
         v = int(os.environ.get("DELAY_ENC_VERIFY_THREADS", ""))
-        if v >= 1:
-            return min(v, 8)
     except ValueError:
-        pass
+        v = None
+    if v is not None:
+        return min(max(v, 1), 8)  # 0/negative = threading disabled
     return min(4, os.cpu_count() or 1)
 
 
@@ -166,10 +166,19 @@ def g1_decompress_batch(blobs: bytes, n: int, b_curve: int):
     out = np.empty(n * 64, dtype=np.uint8)
     flags = np.empty(n, dtype=np.uint8)
     pw, r2w, n0 = _consts()
-    rc = lib.g1_decompress_batch(
-        blobs, n, b_curve.to_bytes(32, "little"),
-        pw.ctypes.data, r2w.ctypes.data, n0, out.ctypes.data, flags.ctypes.data,
-    )
+    mt = getattr(lib, "g1_decompress_batch_mt", None)
+    nthreads = verify_threads()
+    if mt is not None and nthreads > 1 and n >= 8:
+        rc = mt(
+            blobs, n, b_curve.to_bytes(32, "little"),
+            pw.ctypes.data, r2w.ctypes.data, n0,
+            out.ctypes.data, flags.ctypes.data, nthreads,
+        )
+    else:
+        rc = lib.g1_decompress_batch(
+            blobs, n, b_curve.to_bytes(32, "little"),
+            pw.ctypes.data, r2w.ctypes.data, n0, out.ctypes.data, flags.ctypes.data,
+        )
     if rc < 0:
         return "unavailable"
     if (flags > 1).any():
@@ -261,11 +270,20 @@ def pairing_check_native(pairs):
         coeffs += _pack_prepared(q)
     ate, u_bits, frob = _pairing_consts()
     pw, r2w, n0 = _consts()
-    rc = lib.pairing_check_prepared(
-        bytes(pts), len(pairs), bytes(coeffs), nsteps,
-        ate, len(ate), u_bits, len(u_bits), frob,
-        pw.ctypes.data, r2w.ctypes.data, n0,
-    )
+    mt = getattr(lib, "pairing_check_prepared_mt", None)
+    nthreads = verify_threads()
+    if mt is not None and nthreads > 1 and len(pairs) > 1:
+        rc = mt(
+            bytes(pts), len(pairs), bytes(coeffs), nsteps,
+            ate, len(ate), u_bits, len(u_bits), frob,
+            pw.ctypes.data, r2w.ctypes.data, n0, nthreads,
+        )
+    else:
+        rc = lib.pairing_check_prepared(
+            bytes(pts), len(pairs), bytes(coeffs), nsteps,
+            ate, len(ate), u_bits, len(u_bits), frob,
+            pw.ctypes.data, r2w.ctypes.data, n0,
+        )
     if rc < 0:
         return None
     return bool(rc)

@@ -1242,6 +1242,7 @@ typedef struct {
     const fctx *c;
     const u256 *xp, *yp;
     const int *live;
+    size_t npairs;
     const uint8_t *coeffs;
     size_t nsteps;
     const uint8_t *ate_bits;
@@ -1251,14 +1252,16 @@ typedef struct {
 
 static void *miller_worker(void *arg) {
     miller_task *t = (miller_task *)arg;
-    miller_prepared_loop(t->c, t->xp, t->yp, t->live, 1, t->coeffs,
+    miller_prepared_loop(t->c, t->xp, t->yp, t->live, t->npairs, t->coeffs,
                          t->nsteps, t->ate_bits, t->nate, &t->f);
     return NULL;
 }
 
-/* pairing_check_prepared with one thread per pair's Miller loop (each
- * block repeats the shared squaring chain, but the blocks run in
- * parallel — a net win for the 2-pair KZG check).  Identical result. */
+/* pairing_check_prepared with the pairs split into min(nthreads, npairs)
+ * contiguous blocks, each running one multi-pair Miller loop on its own
+ * thread (each block repeats the shared squaring chain, but the blocks
+ * run in parallel — a net win for the 2-pair KZG check, and never more
+ * than nthreads concurrent workers).  Identical result. */
 int pairing_check_prepared_mt(const uint8_t *points, size_t npairs,
                               const uint8_t *coeffs, size_t nsteps,
                               const uint8_t *ate_bits, size_t nate,
@@ -1279,33 +1282,38 @@ int pairing_check_prepared_mt(const uint8_t *points, size_t npairs,
     frob_tabs ft;
     pairing_load(&c, points, npairs, frob, xp, yp, live, &ft);
 
-    static const int one_live = 1;
-    miller_task tasks[16];
-    pthread_t th[16];
-    int spawned[16];
     size_t nlive = 0;
-    for (size_t i = 0; i < npairs; i++) {
-        if (!live[i]) continue;
-        miller_task *t = &tasks[nlive];
-        t->c = &c; t->xp = &xp[i]; t->yp = &yp[i]; t->live = &one_live;
-        t->coeffs = coeffs + i * nsteps * 128;
-        t->nsteps = nsteps; t->ate_bits = ate_bits; t->nate = nate;
-        nlive++;
-    }
+    for (size_t i = 0; i < npairs; i++)
+        if (live[i]) nlive++;
     fq12 f;
     if (nlive == 0) {
         fq12_one(&c, &f);
         return final_exp_is_one(&c, &ft, u_bits, nu, &f);
     }
-    /* last live block runs on the calling thread */
-    for (size_t k = 0; k + 1 < nlive; k++) {
+    /* contiguous index blocks; an all-dead block computes f=1 (the live
+     * mask skips its line multiplies), so block boundaries need no
+     * live-aware balancing for the small npairs this path sees */
+    size_t nblocks = (size_t)nthreads < npairs ? (size_t)nthreads : npairs;
+    miller_task tasks[16];
+    pthread_t th[16];
+    int spawned[16];
+    for (size_t b = 0; b < nblocks; b++) {
+        size_t i0 = b * npairs / nblocks, i1 = (b + 1) * npairs / nblocks;
+        miller_task *t = &tasks[b];
+        t->c = &c; t->xp = &xp[i0]; t->yp = &yp[i0]; t->live = &live[i0];
+        t->npairs = i1 - i0;
+        t->coeffs = coeffs + i0 * nsteps * 128;
+        t->nsteps = nsteps; t->ate_bits = ate_bits; t->nate = nate;
+    }
+    /* last block runs on the calling thread */
+    for (size_t k = 0; k + 1 < nblocks; k++) {
         spawned[k] = pthread_create(&th[k], NULL, miller_worker,
                                     &tasks[k]) == 0;
         if (!spawned[k]) miller_worker(&tasks[k]);
     }
-    miller_worker(&tasks[nlive - 1]);
-    f = tasks[nlive - 1].f;
-    for (size_t k = 0; k + 1 < nlive; k++) {
+    miller_worker(&tasks[nblocks - 1]);
+    f = tasks[nblocks - 1].f;
+    for (size_t k = 0; k + 1 < nblocks; k++) {
         if (spawned[k]) pthread_join(th[k], NULL);
         fq12_mul(&c, &f, &tasks[k].f, &f);
     }

@@ -31,6 +31,7 @@ Protocol (newline-delimited JSON; see runtime/client.py):
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import os
 import queue
@@ -42,6 +43,24 @@ import time
 
 def _log(msg: str) -> None:
     print(f"# daemon {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
+
+@contextlib.contextmanager
+def _warmup_selfcheck_env():
+    """The FIRST proof after a compile (the warmup) runs with the
+    host-oracle selfcheck ON automatically (plonk/selfcheck.py): the
+    round-4 k=16 miscompile was shape-dependent and invisible to the CPU
+    suite — catching it costs one slow warmup proof instead of weeks of
+    chip-time bisection.  Subsequent served proofs drop it.  An explicit
+    DELAY_ENC_SELFCHECK (including '0') wins."""
+    if "DELAY_ENC_SELFCHECK" in os.environ:
+        yield
+        return
+    os.environ["DELAY_ENC_SELFCHECK"] = "1"
+    try:
+        yield
+    finally:
+        os.environ.pop("DELAY_ENC_SELFCHECK", None)
 
 
 class WarmEntry:
@@ -209,13 +228,15 @@ class Daemon:
         if e.workload == "batch":
             from ..plonk.batch_prover import create_proofs_batched
 
-            proofs = create_proofs_batched(e.srs, e.pk, e.builders,
-                                           np.random.default_rng(0))
+            with _warmup_selfcheck_env():
+                proofs = create_proofs_batched(e.srs, e.pk, e.builders,
+                                               np.random.default_rng(0))
             ok = all(verify_proof(e.srs, e.vk, pf, instances=b.instance)
                      for pf, b in zip(proofs, e.builders))
         else:
-            proof = create_proof(e.srs, e.pk, e.builders[0],
-                                 np.random.default_rng(0))
+            with _warmup_selfcheck_env():
+                proof = create_proof(e.srs, e.pk, e.builders[0],
+                                     np.random.default_rng(0))
             ok = verify_proof(e.srs, e.vk, proof,
                               instances=e.builders[0].instance)
             if ok:

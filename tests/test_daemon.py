@@ -134,3 +134,70 @@ def test_serves_warm_key_while_warming(tmp_path):
             proc.wait(10)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_warmup_selfcheck_env_auto_on(monkeypatch):
+    """The daemon's warmup proof must run with DELAY_ENC_SELFCHECK=1
+    automatically (round-4 lesson: hardware-validate each batched kernel
+    at its production shape on the first post-compile proof), dropping it
+    afterwards; an explicit setting — including '0' — wins."""
+    import os
+
+    from delay_enc_tpu.runtime.daemon import _warmup_selfcheck_env
+
+    monkeypatch.delenv("DELAY_ENC_SELFCHECK", raising=False)
+    with _warmup_selfcheck_env():
+        assert os.environ["DELAY_ENC_SELFCHECK"] == "1"
+    assert "DELAY_ENC_SELFCHECK" not in os.environ
+
+    monkeypatch.setenv("DELAY_ENC_SELFCHECK", "0")
+    with _warmup_selfcheck_env():
+        assert os.environ["DELAY_ENC_SELFCHECK"] == "0"
+    assert os.environ["DELAY_ENC_SELFCHECK"] == "0"
+
+
+def test_warm_one_runs_selfcheck_wiring(monkeypatch):
+    """_warm_one wraps its warmup create_proof in the selfcheck env: the
+    prover sees DELAY_ENC_SELFCHECK=1 during the warmup proof."""
+    import os
+
+    import numpy as np
+
+    from delay_enc_tpu.runtime import daemon as D
+
+    seen = {}
+
+    class _Cfg:
+        class prover:
+            key_cache_dir = ""
+            srs_cache_dir = "bench_data"
+
+    monkeypatch.delenv("DELAY_ENC_SELFCHECK", raising=False)
+    monkeypatch.setattr(
+        "delay_enc_tpu.utils.config.Config.from_env", staticmethod(lambda: _Cfg))
+
+    class _B:
+        instance = []
+
+    import bench
+
+    monkeypatch.setattr(bench, "build_circuit",
+                        lambda wl, cfg, seed=42, k=None: _B())
+    monkeypatch.setattr(bench, "get_keys",
+                        lambda wl, b, srs, k, cache: ("pk", "vk", "kp"))
+    monkeypatch.setattr(bench, "_save_proof_artifact",
+                        lambda *a, **kw: None)
+    import delay_enc_tpu.plonk as P
+
+    monkeypatch.setattr(P.SRS, "setup", staticmethod(lambda k, cache_dir=None: "srs"))
+
+    def fake_create_proof(srs, pk, builder, rng):
+        seen["selfcheck"] = os.environ.get("DELAY_ENC_SELFCHECK")
+        return b"proof"
+
+    monkeypatch.setattr(P, "create_proof", fake_create_proof)
+    monkeypatch.setattr(P, "verify_proof", lambda *a, **kw: True)
+    e = D.WarmEntry("pose_enc", 11)
+    D.Daemon([], socket_path="/tmp/unused.sock")._warm_one(e)
+    assert seen["selfcheck"] == "1"
+    assert "DELAY_ENC_SELFCHECK" not in os.environ

@@ -168,3 +168,55 @@ def test_native_pairing_check_matches_python():
         assert pairing_check_native(pairs) == py
     assert pairing_check_native(good) is True
     assert pairing_check_native(bad) is False
+
+
+def test_native_pairing_check_mt_matches_single_thread(monkeypatch):
+    """The threaded pairing path (pairing_check_prepared_mt, capped at
+    nthreads contiguous blocks) must agree with the single-thread kernel
+    for every thread count, including all-dead blocks (identity G1)."""
+    from delay_enc_tpu.curves.pairing import G2Prepared
+    from delay_enc_tpu.native import get_eclib
+    from delay_enc_tpu.native.ec import pairing_check_native, verify_threads
+
+    if get_eclib() is None:
+        pytest.skip("no C compiler")
+    a = 271828
+    good = [
+        (G1.mul(G1_GEN, a), G2Prepared(G2_GEN)),
+        (G1.neg(G1_GEN), G2Prepared(G2.mul(G2_GEN, a))),
+    ]
+    # pad with identity pairs so some thread blocks hold only dead pairs
+    padded = [(None, good[0][1]), (None, good[0][1])] + good + [(None, good[1][1])]
+    bad = [good[0], (G1.mul(G1_GEN, a + 1), good[1][1])]
+    for n in ("0", "1", "2", "3", "8"):
+        monkeypatch.setenv("DELAY_ENC_VERIFY_THREADS", n)
+        assert verify_threads() == min(max(int(n), 1), 8)
+        assert pairing_check_native(good) is True
+        assert pairing_check_native(padded) is True
+        assert pairing_check_native(bad) is False
+
+
+def test_decompress_batch_mt_matches_single_thread(monkeypatch):
+    """g1_decompress_batch routes through the MT kernel for n>=8 — results
+    must be identical to the single-thread path, and invalid encodings
+    must still raise."""
+    from delay_enc_tpu.curves.bn254 import B1 as B_CURVE
+    from delay_enc_tpu.curves.bn254 import g1_to_bytes
+    from delay_enc_tpu.native import get_eclib
+    from delay_enc_tpu.native.ec import g1_decompress_batch
+
+    if get_eclib() is None:
+        pytest.skip("no C compiler")
+    pts = [G1.mul(G1_GEN, 7 * i + 3) for i in range(1, 12)]
+    blobs = b"".join(g1_to_bytes(p) for p in pts) + g1_to_bytes(None)
+    n = len(pts) + 1
+    monkeypatch.setenv("DELAY_ENC_VERIFY_THREADS", "1")
+    single = g1_decompress_batch(blobs, n, B_CURVE)
+    monkeypatch.setenv("DELAY_ENC_VERIFY_THREADS", "4")
+    multi = g1_decompress_batch(blobs, n, B_CURVE)
+    assert single == multi
+    assert multi[:-1] == pts and multi[-1] is None
+    corrupt = bytearray(blobs)
+    corrupt[5] ^= 0x01
+    with pytest.raises(ValueError):
+        g1_decompress_batch(bytes(corrupt), n, B_CURVE)
