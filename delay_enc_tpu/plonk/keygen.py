@@ -174,11 +174,30 @@ def transcript_repr(domain, fixed_comms: dict, sigma_comms: list) -> int:
     documented byte-level residual."""
     import hashlib
 
-    s = _pinned_vk_string(domain, fixed_comms, sigma_comms).encode()
+    s = _pinned_override()
+    if s is None:
+        s = _pinned_vk_string(domain, fixed_comms, sigma_comms).encode()
     h = hashlib.blake2b(digest_size=64, person=b"Halo2-Verify-Key")
     h.update(len(s).to_bytes(8, "little"))
     h.update(s)
     return FR.from_uniform_bytes(h.digest())
+
+
+def _pinned_override() -> bytes | None:
+    """The ENTIRE byte-parity residual vs the Rust reference is the pinned
+    string above (one scalar absorbed first; every downstream transcript
+    byte follows halo2's exact scheme — tests/test_transcript.py).  To
+    close it, point DELAY_ENC_VK_PINNED_FILE at a file holding the Rust
+    `format!("{:?}", vk.pinned())` bytes captured from halo2 for the same
+    circuit: the override substitutes those bytes verbatim, making proof
+    streams byte-comparable against Rust fixtures without code changes."""
+    import os
+
+    path = os.environ.get("DELAY_ENC_VK_PINNED_FILE")
+    if not path:
+        return None
+    with open(path, "rb") as f:
+        return f.read()
 
 
 def min_k(builder: Builder) -> int:

@@ -106,12 +106,60 @@ def _fixed_first_msm(vk, fixed_pairs, var_pairs):
 
 def verify_proof(srs, vk: VerifyingKey, proof: bytes, instances=None) -> bool:
     try:
-        return _verify(srs, vk, proof, instances or [])
+        guard = _verify(srs, vk, proof, instances or [])
     except (ValueError, AssertionError, IndexError):
         return False
+    if guard is False:
+        return False
+    w_comb, p_comb = guard
+    tau_prep, g2_prep = srs.prepared_pair()
+    return pairing_check([(w_comb, tau_prep), (G1.neg(p_comb), g2_prep)])
 
 
-def _verify(srs, vk: VerifyingKey, proof: bytes, instances) -> bool:
+def verify_proofs_batched(srs, vk: VerifyingKey, proofs, instances=None,
+                          rng=None):
+    """Batch verification: the AccumulatorStrategy analog (the reference
+    verifies through `AccumulatorStrategy::finalize`, which defers the
+    pairing work so it can amortize over many proofs —
+    /root/reference/benches/delay_enc.rs:153-165).
+
+    Each proof's GWC equation reduces to a pair (w_i, p_i) with
+    e(w_i, [tau]_2) == e(p_i, [1]_2); folding with verifier-local random
+    scalars r_i gives ONE pairing check
+        e(sum_i r_i w_i, [tau]_2) == e(sum_i r_i p_i, [1]_2),
+    sound except with probability ~N/|Fr|.  All scalar/quotient identities
+    are still checked per proof.  Returns one bool for the whole batch
+    (finalize semantics); on a False the caller can fall back to
+    per-proof verify_proof to locate the offender."""
+    import secrets
+
+    instances = instances or [[] for _ in proofs]
+    guards = []
+    for proof, inst in zip(proofs, instances):
+        try:
+            g = _verify(srs, vk, proof, inst or [])
+        except (ValueError, AssertionError, IndexError):
+            return False
+        if g is False:
+            return False
+        guards.append(g)
+    if not guards:
+        return True
+    if rng is not None:
+        rs = [int(rng.integers(1, 1 << 62)) for _ in guards]
+    else:
+        rs = [secrets.randbelow(P - 1) + 1 for _ in guards]
+    w_acc = G1.multi_scalar_mul(rs, [w for w, _ in guards])
+    p_acc = G1.multi_scalar_mul(rs, [p for _, p in guards])
+    tau_prep, g2_prep = srs.prepared_pair()
+    return pairing_check([(w_acc, tau_prep), (G1.neg(p_acc), g2_prep)])
+
+
+def _verify(srs, vk: VerifyingKey, proof: bytes, instances):
+    """Scalar/quotient checks + GWC combination for one proof.  Returns
+    False on any identity failure, else the pairing guard (w_comb, p_comb)
+    satisfying e(w_comb, [tau]_2) == e(p_comb, [1]_2) iff the proof is
+    valid (the caller runs — or batches — the pairing)."""
     domain = vk.domain
     n = domain.n
     tr = Transcript()
@@ -294,8 +342,4 @@ def _verify(srs, vk: VerifyingKey, proof: bytes, instances) -> bool:
     w_comb = G1.multi_scalar_mul(
         [pow(u, s, P) for s in range(len(w_points))], w_points
     )
-
-    tau_prep, g2_prep = srs.prepared_pair()
-    return pairing_check(
-        [(w_comb, tau_prep), (G1.neg(p_comb), g2_prep)]
-    )
+    return (w_comb, p_comb)

@@ -113,3 +113,32 @@ def test_split_quotient_matches_fused(srs):
     p_s = create_proof(srs, pk_s, b, np.random.default_rng(9))
     assert p_f == p_s
     assert verify_proof(srs, vk_s, p_s)
+
+
+def test_batch_verification_accumulator(srs):
+    """AccumulatorStrategy analog (reference benches/delay_enc.rs:153-165):
+    many proofs fold into ONE pairing check; a single bad proof fails the
+    whole batch; the empty batch is vacuously true; a tampered pairing-
+    level proof (valid scalars, broken opening) is caught by the batch."""
+    from delay_enc_tpu.plonk.verifier import verify_proofs_batched
+
+    b = _build_circuit()
+    pk, vk = keygen(b, srs)
+    proofs = [create_proof(srs, pk, b, np.random.default_rng(10 + i))
+              for i in range(3)]
+    assert verify_proofs_batched(srs, vk, proofs)
+    assert verify_proofs_batched(srs, vk, [])
+    rng = np.random.default_rng(0)
+    assert verify_proofs_batched(srs, vk, proofs, rng=rng)
+    # corrupt ONLY the final opening points of proof 1 (the W_j): the
+    # quotient identity still passes, so rejection must come from the
+    # batched pairing itself — swap W bytes with another proof's
+    other = create_proof(srs, pk, _build_circuit(3, 5),
+                         np.random.default_rng(99))
+    bad = proofs[0][: len(proofs[0]) - 3 * 32] + other[-3 * 32 :]
+    assert not verify_proof(srs, vk, bad)
+    assert not verify_proofs_batched(srs, vk, [proofs[1], bad, proofs[2]])
+    # scalar-level tamper short-circuits before any pairing
+    flip = bytearray(proofs[2])
+    flip[200] ^= 1
+    assert not verify_proofs_batched(srs, vk, [proofs[1], bytes(flip)])
