@@ -74,6 +74,20 @@ def get_lib():
         ctypes.c_uint64,
         ctypes.c_void_p,
     ]
+    # lookup_fvals may be absent from a stale pre-round-5 .so: load
+    # without it (prover falls back to the Python path)
+    try:
+        lib.lookup_fvals.argtypes = [
+            ctypes.c_void_p,  # keys u32[n]
+            ctypes.c_size_t,
+            ctypes.c_void_p,  # theta canonical 32B LE
+            ctypes.c_void_p,  # p words
+            ctypes.c_void_p,  # r2 words
+            ctypes.c_uint64,  # n0inv
+            ctypes.c_void_p,  # out u32[n][16]
+        ]
+    except AttributeError:
+        pass
     _lib = lib
     return _lib
 

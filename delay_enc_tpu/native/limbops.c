@@ -117,3 +117,37 @@ void to_mont(const uint8_t *in, size_t n, const uint64_t *p_words,
         store_to_u16limbs(&r, out + 16 * k);
     }
 }
+
+/* Compressed lookup-table values, vectorized (plonk/prover.py lookup
+ * phase): for each u32 key k (tag t = k>>16, value v = k&0xFFFF) compute
+ *   f = (t + theta * t * v) mod p
+ * directly in the device's u16-limb Montgomery layout.  Replaces the
+ * per-proof Python path (bigint dict build + per-row dict lookups +
+ * per-element to_bytes) with one C pass over the <= 2^16 table keys.
+ * theta arrives canonical (32-byte LE). */
+void lookup_fvals(const uint32_t *keys, size_t n, const uint8_t *theta_bytes,
+                  const uint64_t *p_words, const uint64_t *r2_words,
+                  uint64_t n0inv, uint32_t *out) {
+    u256 p, r2, theta, theta_m;
+    memcpy(p.w, p_words, 32);
+    memcpy(r2.w, r2_words, 32);
+    memcpy(theta.w, theta_bytes, 32);
+    mont_mul(&theta, &r2, &p, n0inv, &theta_m); /* theta * R */
+    for (size_t k = 0; k < n; k++) {
+        uint64_t t = keys[k] >> 16, v = keys[k] & 0xFFFF;
+        u256 tv = {{t * v, 0, 0, 0}};
+        u256 prod; /* mont_mul(theta*R, tv) = theta * tv mod p, canonical */
+        mont_mul(&theta_m, &tv, &p, n0inv, &prod);
+        /* f = t + prod (t < 2^16, prod < p: one add, one cond-subtract) */
+        u128 carry = t;
+        for (int i = 0; i < 4; i++) {
+            carry += prod.w[i];
+            prod.w[i] = (uint64_t)carry;
+            carry >>= 64;
+        }
+        if (carry || geq(&prod, &p)) sub_inplace(&prod, &p);
+        u256 f_m;
+        mont_mul(&prod, &r2, &p, n0inv, &f_m); /* -> Montgomery */
+        store_to_u16limbs(&f_m, out + 16 * k);
+    }
+}

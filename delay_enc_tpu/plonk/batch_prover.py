@@ -178,16 +178,19 @@ def create_proofs_batched(srs, pk: ProvingKey, builders, rng=None, mesh=None,
     )  # (B, 4, n, 16)
     ap_cols, sp_cols = [], []
     for i, b in enumerate(builders):
-        tkeys, fmap = _table_keys(tbl_tags, tbl_vals, usable, thetas[i])
+        tkeys, fvals = _table_keys(tbl_tags, tbl_vals, usable, thetas[i])
         for l in LOOKUPS:
-            ap_vals, sp_vals = _permuted_columns(
-                b.fixed[f"tag_{l}"], b.advice[WIRE_COL[l]], usable, tkeys, fmap, l
+            ap_limbs, sp_limbs = _permuted_columns(
+                b.fixed[f"tag_{l}"], b.advice[WIRE_COL[l]], usable, tkeys, fvals, l
             )
-            pad = [_rand_fr(rng) for _ in range(n - usable)]
-            ap_cols.append(ap_vals + pad)
-            sp_cols.append(sp_vals + [_rand_fr(rng) for _ in range(n - usable)])
-    ap_raw = sh(jnp.asarray(np.stack([ctx.to_mont_np(c) for c in ap_cols])))
-    sp_raw = sh(jnp.asarray(np.stack([ctx.to_mont_np(c) for c in sp_cols])))
+            pad = ctx.to_mont_np([_rand_fr(rng) for _ in range(n - usable)])
+            pad = pad.reshape(-1, L.NLIMB).astype(np.uint32)
+            pad2 = ctx.to_mont_np([_rand_fr(rng) for _ in range(n - usable)])
+            pad2 = pad2.reshape(-1, L.NLIMB).astype(np.uint32)
+            ap_cols.append(np.concatenate([ap_limbs, pad]))
+            sp_cols.append(np.concatenate([sp_limbs, pad2]))
+    ap_raw = sh(jnp.asarray(np.stack(ap_cols)))
+    sp_raw = sh(jnp.asarray(np.stack(sp_cols)))
     lk_coeff = K._jit_coeff_batch(
         jnp.concatenate([ap_raw, sp_raw]), plan.tw_inv, plan.n_inv
     )

@@ -102,23 +102,44 @@ def _table_keys(tbl_tags, tbl_vals, usable: int, theta: int):
     p = FR.p
     assert all(int(t) < (1 << 16) and int(v) < (1 << 16) for t, v in zip(tbl_tags, tbl_vals)), \
         "u32 pair keys require 16-bit tags and values (cs/range.py widths <= 16)"
-    fmap = {0: 0}
-    keys = []
-    for t, v in zip(tbl_tags, tbl_vals):
-        k = (int(t) << 16) | int(v)
-        keys.append(k)
-        if k not in fmap:
-            fmap[k] = (t + theta * t % p * v) % p
+    keys = [(int(t) << 16) | int(v) for t, v in zip(tbl_tags, tbl_vals)]
     tkeys = np.asarray(keys, dtype=np.uint32)
     assert np.all(np.diff(tkeys.astype(np.int64)) >= 0), "table keys must be sorted"
-    return np.concatenate([np.zeros(usable - len(keys), np.uint32), tkeys]), fmap
+    tkeys_padded = np.concatenate([np.zeros(usable - len(keys), np.uint32), tkeys])
+    fvals = _fvals_mont(tkeys_padded, theta)
+    return tkeys_padded, fvals
 
 
-def _permuted_columns(tag_col, adv_col, usable: int, tkeys_padded, fmap, wire):
+def _fvals_mont(keys: np.ndarray, theta: int) -> np.ndarray:
+    """Montgomery device limbs of the compressed value tag + theta*tag*value
+    for every u32 pair key, aligned with `keys` (key 0 maps to 0 by the
+    formula itself).  One vectorized C pass (native/limbops.c lookup_fvals);
+    bit-identical Python fallback."""
+    from ..native import get_lib
+
+    keys = np.ascontiguousarray(keys, dtype=np.uint32)
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "lookup_fvals"):
+        out = np.empty((len(keys), L.NLIMB), dtype=np.uint32)
+        pw, r2w, n0 = CTX._native_consts()
+        lib.lookup_fvals(
+            keys.ctypes.data, len(keys), theta.to_bytes(32, "little"),
+            pw.ctypes.data, r2w.ctypes.data, n0, out.ctypes.data,
+        )
+        return out
+    p = FR.p
+    vals = [(int(k >> 16) + theta * int(k >> 16) % p * int(k & 0xFFFF)) % p
+            for k in keys]
+    return CTX.to_mont_np(vals)
+
+
+def _permuted_columns(tag_col, adv_col, usable: int, tkeys_padded, fvals, wire):
     """halo2's lookup permutation (lookup/prover.rs permute_expression_pair):
     A' = A sorted (grouped by value), S' = matching table value at each
     first occurrence, remaining table rows filling the rest.  Computed in
-    key space (see _table_keys) with numpy."""
+    key space (see _table_keys) with numpy; the returned columns are
+    (usable, 16) Montgomery limb arrays gathered from `fvals` — no
+    per-row Python bigint work anywhere on this path."""
     rows = len(tag_col)
     keys = np.zeros(usable, dtype=np.uint32)
     t = np.fromiter((int(x) for x in tag_col), dtype=np.uint32, count=rows)
@@ -158,9 +179,11 @@ def _permuted_columns(tag_col, adv_col, usable: int, tkeys_padded, fmap, wire):
     sp_keys[is_first] = firsts
     sp_keys[~is_first] = leftovers[: usable - len(firsts)]
 
-    ap_vals = [fmap[k] for k in ks.tolist()]
-    sp_vals = [fmap[k] for k in sp_keys.tolist()]
-    return ap_vals, sp_vals
+    # key -> limb row via one searchsorted gather per column (the zero pad
+    # keys land on index 0, whose fvals row is 0 by the compression formula)
+    ap_limbs = fvals[np.searchsorted(tkeys_padded, ks, side="left")]
+    sp_limbs = fvals[np.searchsorted(tkeys_padded, sp_keys, side="left")]
+    return ap_limbs, sp_limbs
 
 
 def _mont1(x: int) -> jnp.ndarray:
@@ -372,18 +395,19 @@ def create_proof(srs, pk: ProvingKey, builder: Builder, rng=None) -> bytes:
     from ..cs.range import build_table
 
     tbl_tags, tbl_vals = build_table(builder.lookup_widths)
-    tkeys_padded, fmap = _table_keys(tbl_tags, tbl_vals, usable, theta)
+    tkeys_padded, fvals = _table_keys(tbl_tags, tbl_vals, usable, theta)
     a_raw, ap_raw, sp_raw = {}, {}, {}
     for l in LOOKUPS:
         tag_raw = pk.fixed_raw[f"tag_{l}"]
         a_raw[l] = _jit_compress(tag_raw, advice_raw[WIRE_COL[l]], theta_m)
-        ap_vals, sp_vals = _permuted_columns(
+        ap_limbs, sp_limbs = _permuted_columns(
             builder.fixed[f"tag_{l}"], builder.advice[WIRE_COL[l]],
-            usable, tkeys_padded, fmap, l,
+            usable, tkeys_padded, fvals, l,
         )
-        pad = [_rand_fr(rng) for _ in range(n - usable)]
-        ap_raw[l] = jnp.asarray(ctx.to_mont_np(ap_vals + pad))
-        sp_raw[l] = jnp.asarray(ctx.to_mont_np(sp_vals + pad))
+        pad = ctx.to_mont_np([_rand_fr(rng) for _ in range(n - usable)])
+        pad = pad.reshape(-1, L.NLIMB).astype(np.uint32)
+        ap_raw[l] = jnp.asarray(np.concatenate([ap_limbs, pad]))
+        sp_raw[l] = jnp.asarray(np.concatenate([sp_limbs, pad]))
     _fine("lookup host permute+to_mont")
     lk8 = to_coeff_batch([ap_raw[l] for l in LOOKUPS] + [sp_raw[l] for l in LOOKUPS])
     _fine("lookup iNTT", sync=lk8)

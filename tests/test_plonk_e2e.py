@@ -142,3 +142,24 @@ def test_batch_verification_accumulator(srs):
     flip = bytearray(proofs[2])
     flip[200] ^= 1
     assert not verify_proofs_batched(srs, vk, [proofs[1], bytes(flip)])
+
+
+def test_lookup_fvals_c_matches_python(monkeypatch):
+    """The C lookup_fvals kernel (native/limbops.c) must be bit-identical
+    to the Python compression formula path for random keys/theta."""
+    import numpy as np
+
+    from delay_enc_tpu.plonk import prover as PR
+
+    rng = np.random.default_rng(3)
+    keys = np.sort(rng.integers(0, 1 << 32, 500, dtype=np.uint32))
+    keys[:7] = 0
+    theta = int.from_bytes(bytes(rng.integers(0, 256, 32, dtype="uint8")),
+                           "little") % PR.FR.p
+    got = PR._fvals_mont(keys, theta)
+    import delay_enc_tpu.native as N
+
+    monkeypatch.setattr(N, "get_lib", lambda: None)
+    want = PR._fvals_mont(keys, theta)
+    assert got.dtype == np.uint32 and got.shape == (500, 16)
+    assert (got == want).all()
