@@ -54,6 +54,13 @@ import numpy as np
 START_TIME = time.time()
 
 
+def vs_baseline_ratio(baseline, t):
+    """baseline/t rounded, or None when either is missing/zero.  The t==0
+    guard matters: the mid-warm skip path reports a null metric via
+    result(0.0), which must not crash the stage (round-5 regression)."""
+    return round(baseline / t, 3) if baseline and t else None
+
+
 def _left(args) -> float:
     return args.budget - (time.time() - START_TIME)
 
@@ -350,7 +357,8 @@ def bench_verify(args, cfg):
     srs = SRS.load_host_meta(meta.get("srs") or os.path.join(
         cfg.prover.srs_cache_dir, f"srs_bn254_k{k}.npz"))
     assert verify_proof(srs, vk, proof), "cached proof failed to verify"
-    reps = max(args.repeats, 10)
+    reps = max(args.repeats, 25)  # min-of-N: more chances to dodge a
+    # contention spike when background compiles share the host
     times = []
     for _ in range(reps):
         t0 = time.time()
@@ -361,7 +369,7 @@ def bench_verify(args, cfg):
     baseline = BASELINES.get(("verify", k))
     return {"metric": f"{workload}_k{k}_verify_s", "value": round(v, 6),
             "unit": "s",
-            "vs_baseline": round(baseline / v, 3) if baseline else None,
+            "vs_baseline": vs_baseline_ratio(baseline, v),
             "repeats": reps, "proof_bytes": len(proof)}
 
 
@@ -495,7 +503,7 @@ def bench_prove(args, cfg):
             "metric": f"{args.workload}_k{k}{suffix}_prove_s",
             "value": round(prove_s, 4),
             "unit": "s",
-            "vs_baseline": round(baseline / prove_s, 3) if baseline else None,
+            "vs_baseline": vs_baseline_ratio(baseline, prove_s),
         }
         out.update(extra)
         return out
@@ -518,7 +526,8 @@ def bench_prove(args, cfg):
             st = daemon_request({"cmd": "ping"}) or {}
         except Exception:
             st = {}
-        if st.get("ok") and st.get("warming"):
+        if (st.get("ok") and st.get("warming")
+                and not os.environ.get("BENCH_NO_DAEMON")):
             print(f"# daemon mid-warm ({st.get('warming')}) — skipping the "
                   f"inline cold start (relay contention)",
                   file=sys.stderr, flush=True)
@@ -614,7 +623,7 @@ def bench_batch(args, cfg):
         print(f"# batched warmup {warm:.1f}s", file=sys.stderr, flush=True)
         _emit({"metric": f"batch{B}_delay_enc_k{k}_proofs_per_s",
                "value": round(B / warm, 4), "unit": "proofs/s",
-               "vs_baseline": round(baseline / (warm / B), 3) if baseline else None,
+               "vs_baseline": vs_baseline_ratio(baseline, warm / B if B else 0),
                "per_proof_s": round(warm / B, 4), "warmup_inclusive": True})
         t0 = time.time()
         proofs = create_proofs_batched(srs, pk, builders, np.random.default_rng(1))
@@ -623,7 +632,7 @@ def bench_batch(args, cfg):
         per_proof = total_s / B
         return {"metric": f"batch{B}_delay_enc_k{k}_proofs_per_s",
                 "value": round(B / total_s, 4), "unit": "proofs/s",
-                "vs_baseline": round(baseline / per_proof, 3) if baseline else None,
+                "vs_baseline": vs_baseline_ratio(baseline, per_proof),
                 "per_proof_s": round(per_proof, 4), "proofs": B}
 
     # serial-instance mode with 2-deep pipeline overlap (PP analog,
@@ -642,7 +651,7 @@ def bench_batch(args, cfg):
             "metric": f"batch{B}_delay_enc_k{k}_proofs_per_s",
             "value": round(done / total_s, 4),
             "unit": "proofs/s",
-            "vs_baseline": round(baseline / per_proof, 3) if baseline else None,
+            "vs_baseline": vs_baseline_ratio(baseline, per_proof),
             "per_proof_s": round(per_proof, 4),
             "proofs": done,
         }

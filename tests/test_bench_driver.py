@@ -177,3 +177,12 @@ def test_row_count_economics_pinned():
     # reference advice-row counts at the same configs (benches/README.md)
     assert pins[("delay_enc", 16, 3)] < 34473
     assert pins[("delay_enc", 17, None)] < 130248
+
+
+def test_vs_baseline_ratio_zero_guard():
+    """The mid-warm skip path reports result(0.0); the ratio helper must
+    return None instead of dividing by zero (crashed a pose_enc stage
+    mid-warm in round 5 — the stage exited rc=1 with no metric line)."""
+    assert bench.vs_baseline_ratio(3.7977, 0.0) is None
+    assert bench.vs_baseline_ratio(None, 1.0) is None
+    assert bench.vs_baseline_ratio(3.0, 1.5) == 2.0
