@@ -32,8 +32,11 @@ from delay_enc_tpu.runtime import daemon_request  # noqa: E402
 D = ".round5"
 LOG = open(f"{D}/campaign.log", "a", buffering=1)
 T0 = time.time()
-T_END = T0 + 9 * 3600          # hard campaign end
-T_NO_NEW_LONG_WARM = T0 + 5.0 * 3600   # no fresh k=17 warm after this
+T_END = T0 + 6 * 3600          # hard campaign end
+T_NO_NEW_LONG_WARM = T0 + 1.5 * 3600   # no fresh k=17 warm after this
+# (session 2 restart: driver bench lands ~T0+3.5-4h; a fresh 2^17-shape
+# warm must never be mid-flight then — mod_pow:16 shares delay_enc:16's
+# shapes and stays cheap, so only it is allowed late.)
 
 
 def log(msg):
@@ -119,6 +122,13 @@ if not ok:
         daemon_request({"cmd": "setenv", "env": {"DELAY_ENC_MSM": None,
                                                  "DELAY_ENC_NTT": None}})
         ok, best = prove("delay_enc", 16, 2, 3000, "s54_bisect_both")
+    if not ok:
+        # last suspect: the work-efficient block scan (session-2 change);
+        # call-time dispatch makes this flippable in-process
+        daemon_request({"cmd": "setenv", "env": {"DELAY_ENC_MSM": "b16",
+                                                 "DELAY_ENC_NTT": "mxu",
+                                                 "DELAY_ENC_SCAN": "hs"}})
+        ok, best = prove("delay_enc", 16, 2, 2400, "s54b_bisect_scan")
 log(f"headline steady: verified={ok} best={best}")
 
 # -- 4. cheap extra rows: mod_pow:16 shares delay_enc:16's shapes ----------

@@ -136,16 +136,16 @@ def _jit_lookup_fracs(a, s, ap, sp, beta_m, gamma_m):
 # permutation/lookup provers (each z is opened at x and omega*x, so
 # deterministic tail rows would weaken zero-knowledge).
 
-def _gp_partials(num, den, active_mask):
+def _gp_partials(num, den, active_mask, impl="block"):
     one = jnp.broadcast_to(CTX.one_mont(), num.shape)
     num = L.select(active_mask, num, one)
     den = L.select(active_mask, den, one)
-    pre = P.prefix_product(CTX, den)
-    suf = P.suffix_product(CTX, den)
+    pre = P.prefix_product(CTX, den, impl)
+    suf = P.suffix_product(CTX, den, impl)
     return num, pre, suf, pre[-1]
 
 
-def _gp_finish(num, pre, suf, total_inv_m, blind_rows):
+def _gp_finish(num, pre, suf, total_inv_m, blind_rows, impl="block"):
     one = jnp.broadcast_to(CTX.one_mont(), num.shape)
     pre_excl = jnp.concatenate([one[:1], pre[:-1]], axis=0)
     suf_excl = jnp.concatenate([suf[1:], one[:1]], axis=0)
@@ -153,17 +153,34 @@ def _gp_finish(num, pre, suf, total_inv_m, blind_rows):
         CTX, L.mont_mul(CTX, pre_excl, suf_excl), total_inv_m[None, :]
     )
     frac = L.mont_mul(CTX, num, den_inv)
-    pref = P.prefix_product(CTX, frac)
+    pref = P.prefix_product(CTX, frac, impl)
     z = jnp.concatenate([one[:1], pref[:-1]], axis=0)
     keep = z.shape[0] - blind_rows.shape[0]
     return jnp.concatenate([z[:keep], blind_rows], axis=0)
 
 
-_jit_gp_partials = jax.jit(_gp_partials)
-_jit_gp_finish = jax.jit(_gp_finish)
-# all 5 grand products (permutation + 4 lookups) in one batched launch
-_jit_gp_partials_batch = jax.jit(jax.vmap(_gp_partials, in_axes=(0, 0, None)))
-_jit_gp_finish_batch = jax.jit(jax.vmap(_gp_finish))
+# Per-impl jitted variants, selected by env at CALL time (an env read inside
+# the traced body would freeze at first trace — the daemon's in-process
+# `setenv` bisect could then never flip the scan implementation).
+_JIT_GP = {
+    impl: (
+        jax.jit(jax.vmap(
+            lambda n, d, a, _i=impl: _gp_partials(n, d, a, _i),
+            in_axes=(0, 0, None))),
+        jax.jit(jax.vmap(
+            lambda n, p, s, t, b, _i=impl: _gp_finish(n, p, s, t, b, _i))),
+    )
+    for impl in ("block", "hs")
+}
+
+
+def _jit_gp_partials_batch(num, den, active_mask):
+    """All 5 grand products (permutation + 4 lookups) in one batched launch."""
+    return _JIT_GP[P.scan_impl_env()][0](num, den, active_mask)
+
+
+def _jit_gp_finish_batch(num, pre, suf, total_inv_m, blind_rows):
+    return _JIT_GP[P.scan_impl_env()][1](num, pre, suf, total_inv_m, blind_rows)
 
 
 def _rot(ext, steps):
